@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search query pack over the `embeddings` table
+  * (vec_id: long, embedding: array<float>, label: int).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+  * variant is the 100 TB scale path (random-hyperplane signatures computed
+  * per-row, candidates joined within buckets only, exact rerank inside the
+  * candidate set).
+  */
+object SimilarityQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** dot(a,b) folded left in index order — deterministic accumulation so
+    * the DuckDB oracle (same order) produces bit-identical doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit signature from h pseudo-random hyperplanes. Plane p's
+    * component i is a deterministic hash-derived value in [-1,1); the sign
+    * of the dot product is one signature bit. Per-row, zero shuffle. */
+  def rhpSignature(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") *
+            ((hash(i, lit(p)).cast("double") / lit(Int.MaxValue.toDouble)))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    // --- brute-force cosine top-k (exact ANN baseline; SQL oracle) --------
+    QuerySpec(
+      "q24_knn_brute",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim", cosine(col("qv"), col("cv")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |     scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |         list_sum(list_transform(generate_series(1, len(qv)),
+             |                  i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             |         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+             |                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             |          * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+             |                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             |         AS sim
+             |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // --- LSH-bucketed ANN: the 100 TB scale path (no SQL oracle;
+    //     recall vs q24 asserted in ScalaTest) -----------------------------
+    QuerySpec(
+      "q25_knn_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("sig", rhpSignature(col("embedding"), 16))
+        // band the 16-bit signature into 4 × 4-bit buckets; a pair collides
+        // if any band matches — cheap candidate generation, then exact
+        // cosine rerank within candidates only.
+        val banded = e.select(col("vec_id"), col("embedding"), col("sig"),
+          posexplode(array((0 until 4).map(bnd =>
+            shiftrightunsigned(col("sig"), bnd * 4).bitwiseAND(0xFL)): _*)))
+          .withColumnRenamed("pos", "band_id")
+          .withColumnRenamed("col", "bucket")
+        val q = banded.filter(col("vec_id") < 5)
+          .select(col("band_id"), col("bucket"),
+            col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = banded.select(col("band_id"), col("bucket"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        val cand = q.join(c, Seq("band_id", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id")
+        val scored = cand.withColumn("sim", cosine(col("qv"), col("cv")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // --- per-label centroid stats (embedding clustering summary) ----------
+    QuerySpec(
+      "q26_label_stats",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        e.withColumn("n2", dot(col("embedding"), col("embedding")))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("n2")) * 1000).cast("long").as("avg_sqnorm_x1000"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, count(*) AS n,
+             |       CAST(round(avg(n2) * 1000) AS BIGINT) AS avg_sqnorm_x1000
+             |FROM (SELECT label,
+             |        list_sum(list_transform(generate_series(1, len(embedding)),
+             |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n2
+             |      FROM embeddings)
+             |GROUP BY label
+             |ORDER BY label""".stripMargin))
+  )
+}
