@@ -1,0 +1,259 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Extract, Robots, UrlNorm}
+
+/** The distributed crawl-frontier engine (SURVEY.md §7 module 6; north rule).
+  *
+  * One scheduling round is a typed Dataset pipeline:
+  *   frontier → dedupe(min seq per url) → anti-join(seen) → per-host
+  *   rank/budget window → global FIFO order index → repartition(host,salt)
+  *   → mapPartitions(robots gate + synthetic fetch + extract kernel)
+  *   → pages/fetch_log deltas + next frontier + seen delta
+  *
+  * Scale design (10^10-URL frontier):
+  *  - membership is on the 64-bit xxh64 of the canonical URL; the exact
+  *    anti-join shuffles only (hash, url) pairs. A per-partition Bloom
+  *    prefilter ([[SeenFilter]]) can drop the bulk of dups before the
+  *    shuffle; positives are always confirmed exactly, so no false drops.
+  *  - the politeness budget is enforced BEFORE the salted repartition by a
+  *    window over the host key (rank ≤ B), so a mega-host never serializes
+  *    a partition: its per-round work is bounded by B and spread over
+  *    `saltBuckets` partitions.
+  *  - the global BFS order index is computed without a single-partition
+  *    window: range-partition by the FIFO key, count rows per partition,
+  *    broadcast the prefix offsets, add the local rank (two narrow passes).
+  *  - every round commits deltas + per-partition lineage to a
+  *    [[SnapshotStore]]; `resume` restarts from the latest manifest.
+  */
+object FrontierEngine {
+
+  final case class FrontierRow(
+      url: String, url_hash: Long, host: String, depth: Int,
+      parent_order: Long, link_pos: Int)
+
+  final case class FetchedRow(
+      url: String, url_hash: Long, host: String, depth: Int, round: Int,
+      order_idx: Long, partition_id: Int, status: String,
+      title: String, text: String, links: Seq[String], etag: String)
+
+  final case class Config(
+      maxDepth: Int = 2,
+      maxPages: Int = 50,
+      hostBudget: Int = Int.MaxValue,
+      sameHostOnly: Boolean = true,
+      respectRobots: Boolean = true,
+      saltBuckets: Int = 4,
+      web: SyntheticWeb.Config = SyntheticWeb.Config(),
+      /** stop after this many rounds (simulates a crash mid-crawl; resume
+        * restarts from the last committed snapshot — a round boundary). */
+      maxRounds: Int = Int.MaxValue)
+
+  final case class RoundResult(
+      fetched: DataFrame, // FetchedRow sans links
+      newFrontier: Dataset[FrontierRow],
+      seenDelta: DataFrame, // (url_hash, url)
+      taken: Long)
+
+  def seedFrontier(spark: SparkSession, seeds: Seq[String]): Dataset[FrontierRow] = {
+    import spark.implicits._
+    seeds.flatMap(UrlNorm.canonicalize).zipWithIndex.map { case (u, i) =>
+      FrontierRow(u, UrlNorm.urlHash(u), UrlNorm.host(u).getOrElse(""), 0, -1L, i)
+    }.toDS()
+  }
+
+  /** One scheduling round. `seen` is (url_hash LONG, url STRING);
+    * `fetchedSoFar` drives the global maxPages cap. */
+  def round(spark: SparkSession, frontier: Dataset[FrontierRow],
+      seen: DataFrame, roundNo: Int, fetchedSoFar: Long,
+      cfg: Config): RoundResult = {
+    import spark.implicits._
+
+    // 1. within-frontier dedupe: first discovery (min FIFO seq) wins
+    val deduped = frontier
+      .filter(col("depth") <= cfg.maxDepth)
+      .groupBy(col("url_hash"), col("url"), col("host"))
+      .agg(
+        min(struct(col("parent_order"), col("link_pos"), col("depth"))).as("seq"))
+      .select(col("url_hash"), col("url"), col("host"),
+        col("seq.depth").as("depth"),
+        col("seq.parent_order").as("parent_order"),
+        col("seq.link_pos").as("link_pos"))
+
+    // 2. exact anti-join against the seen set (hash equi-join; the Bloom
+    //    prefilter is applied by the caller when the seen set is large)
+    val fresh = deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+
+    // 3. per-host politeness budget: FIFO rank over the host key, PRE-salt
+    val wHost = Window.partitionBy(col("host"))
+      .orderBy(col("parent_order"), col("link_pos"))
+    val ranked = fresh.withColumn("host_rank", row_number().over(wHost))
+    val budgeted = ranked.filter(col("host_rank") <= cfg.hostBudget)
+    val deferredByBudget = ranked.filter(col("host_rank") > cfg.hostBudget)
+      .select(frontierCols: _*).as[FrontierRow]
+
+    // 4. global FIFO order index (distributed two-phase ranking) + cap
+    val room = cfg.maxPages - fetchedSoFar
+    val indexed = withGlobalFifoIndex(spark, budgeted, fetchedSoFar)
+    val taken = indexed.filter(col("order_idx") < fetchedSoFar + room)
+    val overflow = indexed.filter(col("order_idx") >= fetchedSoFar + room)
+      .select(frontierCols: _*).as[FrontierRow]
+
+    // 5. fetch + extract inside mapPartitions over salted host partitions
+    val webCfg = cfg.web
+    val respectRobots = cfg.respectRobots
+    val sameHostOnly = cfg.sameHostOnly
+    val maxDepth = cfg.maxDepth
+    val rNo = roundNo
+    val fetched: Dataset[FetchedRow] = taken
+      .repartition(col("host"), pmod(col("url_hash"), lit(cfg.saltBuckets)))
+      .select(col("url"), col("url_hash"), col("host"), col("depth"),
+        col("parent_order"), col("link_pos"), col("order_idx"))
+      .as[(String, Long, String, Int, Long, Int, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val robotsCache = scala.collection.mutable.Map[String, Robots.RobotsRules]()
+        it.map { case (url, urlHash, host, depth, _, _, orderIdx) =>
+          val rules = robotsCache.getOrElseUpdate(host,
+            Robots.parse(SyntheticWeb.parseUrl(url)
+              .map(hp => SyntheticWeb.robotsTxt(hp._1)).getOrElse("")))
+          val fr = SyntheticWeb.fetch(webCfg, url)
+          val status =
+            if (respectRobots && !Robots.isAllowed(rules, url, webCfg.userAgent))
+              "ROBOTS_DENIED"
+            else if (fr.status == 404) "HTTP_404"
+            else if (fr.status == 500) "HTTP_500"
+            else if (!fr.contentType.contains("text/html")) "UNSUPPORTED_CONTENT_TYPE"
+            else if (fr.sizeBytes > 5L * 1024 * 1024) "CONTENT_TOO_LARGE"
+            else "OK"
+          val (title, text, links) =
+            if (status == "OK") {
+              val ex = Extract.extract(fr.html, url, 0L, Extract.Options(format = "text"))
+              val ls = if (depth < maxDepth)
+                SyntheticWeb.pageLinks(fr.html, url, sameHostOnly)
+              else Seq.empty
+              (ex.title, ex.content, ls)
+            } else ("", "", Seq.empty[String])
+          FetchedRow(url, urlHash, host, depth, rNo, orderIdx, pid,
+            status, title, text, links, fr.etag)
+        }
+      }
+
+    val fetchedCached = fetched.cache()
+    val takenCount = fetchedCached.count()
+
+    // 6. children → next frontier (anti-join vs seen happens next round;
+    //    we pre-filter against this round's seen delta for compactness)
+    val children = fetchedCached
+      .select(col("order_idx").as("parent_order"), posexplode(col("links")))
+      .select(
+        col("col").as("url"),
+        col("parent_order"),
+        col("pos").as("link_pos"))
+      .withColumn("url_hash", udf((u: String) => UrlNorm.urlHash(u)).apply(col("url")))
+      .withColumn("host", udf((u: String) => UrlNorm.host(u).getOrElse("")).apply(col("url")))
+      .join(fetchedCached.select(col("order_idx").as("parent_order"),
+        (col("depth") + 1).as("depth")), Seq("parent_order"))
+      .select(frontierCols: _*).as[FrontierRow]
+
+    val seenDelta = fetchedCached.select(col("url_hash"), col("url"))
+
+    RoundResult(
+      fetched = fetchedCached.drop("links"),
+      newFrontier = deferredByBudget.union(overflow).union(children),
+      seenDelta = seenDelta,
+      taken = takenCount)
+  }
+
+  private val frontierCols = Seq(
+    col("url"), col("url_hash"), col("host"), col("depth"),
+    col("parent_order"), col("link_pos"))
+
+  /** Distributed global FIFO index: range-partition by the FIFO key, then
+    * local rank + broadcast prefix offsets — no single-partition window. */
+  def withGlobalFifoIndex(spark: SparkSession, df: DataFrame,
+      startAt: Long): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(1, spark.sparkContext.defaultParallelism / 2)
+    val sorted = df
+      .repartitionByRange(parts, col("parent_order"), col("link_pos"), col("url_hash"))
+      .sortWithinPartitions(col("parent_order"), col("link_pos"), col("url_hash"))
+      .withColumn("__pid", spark_partition_id())
+    val sortedCached = sorted.cache()
+    val counts = sortedCached.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, startAt)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.tail.map { case (pid, cum) => pid -> cum }.toMap
+    val starts = counts.map { case (pid, n) => pid -> (offsets(pid) - n) }.toMap
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val schema = sortedCached.schema
+    val out = sortedCached.mapPartitions { it =>
+      var idx = -1L
+      var pid = -1
+      it.map { row =>
+        if (pid < 0) {
+          pid = row.getAs[Int]("__pid")
+          idx = bStarts.value.getOrElse(pid, 0L)
+        }
+        val v = idx
+        idx += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v)
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      schema.add("order_idx", "long")))
+    out.drop("__pid")
+  }
+
+  /** Drive a full crawl from seeds; returns (all fetched rows, final seen).
+    * When `store` is given, every round commits deltas + lineage and the
+    * crawl can resume from the latest snapshot. */
+  def crawl(spark: SparkSession, seeds: Seq[String], cfg: Config,
+      store: Option[SnapshotStore] = None): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emptySeen = Seq.empty[(Long, String)].toDF("url_hash", "url")
+    var state = store.flatMap(_.loadLatest(spark)) match {
+      case Some(s) => s
+      case None => CrawlState(seedFrontier(spark, seeds).toDF(), emptySeen, emptyFetched(spark), 0, 0L)
+    }
+    var continue = state.fetchedCount < cfg.maxPages
+    while (continue) {
+      val fr = state.frontier.as[FrontierRow]
+      if (fr.isEmpty) continue = false
+      else {
+        val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg)
+        if (r.taken == 0) continue = false
+        else {
+          // localCheckpoint truncates the iterative plan lineage — without
+          // it each round's DAG embeds all previous rounds and the driver
+          // OOMs on plan strings alone (on a cluster: use reliable
+          // checkpoint dirs / the SnapshotStore parquet as the cut point)
+          val newState = CrawlState(
+            frontier = r.newFrontier.toDF().localCheckpoint(true),
+            seen = state.seen.union(r.seenDelta).localCheckpoint(true),
+            fetched = state.fetched.union(r.fetched).localCheckpoint(true),
+            round = state.round + 1,
+            fetchedCount = state.fetchedCount + r.taken)
+          store.foreach(_.commit(spark, newState, r))
+          state = newState
+          if (state.fetchedCount >= cfg.maxPages) continue = false
+          if (state.round >= cfg.maxRounds) continue = false
+        }
+      }
+    }
+    (state.fetched, state.seen)
+  }
+
+  def emptyFetched(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, String, Int, Int, Long, Int, String, String, String, String)]
+      .toDF("url", "url_hash", "host", "depth", "round", "order_idx",
+        "partition_id", "status", "title", "text", "etag")
+  }
+
+  final case class CrawlState(
+      frontier: DataFrame, seen: DataFrame, fetched: DataFrame,
+      round: Int, fetchedCount: Long)
+}

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Minimal Iceberg-style snapshot/manifest layer over Parquet (SURVEY.md §4:
+  * no Iceberg jars ship offline, so the table format is ours). Each crawl
+  * round commits:
+  *
+  *   <root>/r<N>/frontier/            parquet
+  *   <root>/r<N>/seen/                parquet
+  *   <root>/r<N>/fetch_log/           parquet (delta, this round only)
+  *   <root>/r<N>/pages/               parquet (delta, OK rows only)
+  *   <root>/r<N>/manifest.json        {round, fetchedCount, parent,
+  *                                     per-partition lineage, metrics}
+  *   <root>/_current                  atomic pointer (rename commit)
+  *
+  * Resume loads `_current`, giving "the crawl resumes from any checkpoint"
+  * with per-partition lineage and fetch/dedupe metrics (north rule).
+  */
+final class SnapshotStore(rootDir: String) {
+
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  private def dir(round: Int): Path = root.resolve(s"r$round")
+
+  def commit(spark: SparkSession, state: FrontierEngine.CrawlState,
+      r: FrontierEngine.RoundResult): Unit = {
+    val d = dir(state.round)
+    state.frontier.write.mode("overwrite").parquet(d.resolve("frontier").toString)
+    state.seen.write.mode("overwrite").parquet(d.resolve("seen").toString)
+    r.fetched.write.mode("overwrite").parquet(d.resolve("fetch_log").toString)
+    r.fetched.filter(org.apache.spark.sql.functions.col("status") === "OK")
+      .write.mode("overwrite").parquet(d.resolve("pages").toString)
+
+    // per-partition lineage + fetch/dedupe metrics
+    import org.apache.spark.sql.functions._
+    val byPartition = r.fetched.groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"))
+      .collect()
+      .map(row => s"""{"partition_id":${row.get(0)},"rows":${row.get(1)},"ok":${row.get(2)}}""")
+      .mkString("[", ",", "]")
+    val statusCounts = r.fetched.groupBy(col("status")).count().collect()
+      .map(row => s""""${row.getString(0)}":${row.getLong(1)}""")
+      .mkString("{", ",", "}")
+    val manifest =
+      s"""{"round":${state.round},"fetched_count":${state.fetchedCount},
+         |"taken_this_round":${r.taken},
+         |"parent":${if (state.round > 1) "\"r" + (state.round - 1) + "\"" else "null"},
+         |"partitions":$byPartition,
+         |"status_counts":$statusCounts}""".stripMargin.replace("\n", "")
+    Files.writeString(d.resolve("manifest.json"), manifest)
+
+    // atomic commit: write pointer to temp, then rename over _current
+    val tmp = root.resolve("_current.tmp")
+    Files.writeString(tmp, s"r${state.round}")
+    Files.move(tmp, root.resolve("_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentRound: Option[Int] = {
+    val p = root.resolve("_current")
+    if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("r").toInt)
+    else None
+  }
+
+  def manifest(round: Int): Option[String] = {
+    val p = dir(round).resolve("manifest.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  /** Load the latest committed state (all fetch_log deltas unioned). */
+  def loadLatest(spark: SparkSession): Option[FrontierEngine.CrawlState] =
+    currentRound.map { rN =>
+      val d = dir(rN)
+      val frontier = spark.read.parquet(d.resolve("frontier").toString)
+      val seen = spark.read.parquet(d.resolve("seen").toString)
+      val fetched = (1 to rN).map(i =>
+        spark.read.parquet(dir(i).resolve("fetch_log").toString))
+        .reduce(_ union _)
+      val count = manifest(rN)
+        .flatMap(m => "\"fetched_count\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong))
+        .getOrElse(fetched.count())
+      FrontierEngine.CrawlState(frontier, seen, fetched, rN, count)
+    }
+}

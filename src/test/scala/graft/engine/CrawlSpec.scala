@@ -1,0 +1,154 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end crawl equivalence: the distributed frontier engine must
+  * reproduce the scalar BFS oracle exactly — emitted order, statuses,
+  * extracted text bytes, and the final seen-set (north rule), under plain
+  * BFS, politeness budgets, robots, maxPages caps, and resume.
+  */
+class CrawlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("crawl-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val web = SyntheticWeb.Config(nHosts = 8, pagesPerHost = 32, megaFactor = 4)
+
+  private def seeds(hosts: Int*) = hosts.map(h => SyntheticWeb.pageUrl(h, 0)).toList
+
+  private def runBoth(seedList: Seq[String], maxDepth: Int, maxPages: Int,
+      budget: Int, sameHost: Boolean = true, robots: Boolean = true,
+      store: Option[SnapshotStore] = None) = {
+    val ocfg = CrawlOracle.Config(maxDepth, maxPages, budget, sameHost, robots, web)
+    val ecfg = FrontierEngine.Config(maxDepth, maxPages, budget, sameHost, robots,
+      saltBuckets = 4, web = web)
+    val oracle = CrawlOracle.run(seedList, ocfg)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seedList, ecfg, store)
+    (oracle, fetched, seen)
+  }
+
+  private def engineRows(fetched: org.apache.spark.sql.DataFrame) =
+    fetched.orderBy("order_idx")
+      .select("order_idx", "url", "depth", "round", "status", "title", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5), r.getString(6)))
+
+  private def oracleRows(o: CrawlOracle.Result) =
+    o.rows.map(e => (e.orderIdx, e.url, e.depth, e.round, e.status, e.title, e.text))
+
+  test("plain BFS (no budget) matches oracle order, statuses, text, seen-set") {
+    val (oracle, fetched, seen) = runBoth(seeds(1), maxDepth = 2,
+      maxPages = 200, budget = Int.MaxValue)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    val engineSeen = seen.select("url").collect().map(_.getString(0)).toSet
+    assert(engineSeen == oracle.seen)
+  }
+
+  test("politeness budget defers rows identically (budget=5)") {
+    val (oracle, fetched, seen) = runBoth(seeds(1, 2), maxDepth = 2,
+      maxPages = 300, budget = 5)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    assert(seen.count() == oracle.seen.size)
+    // budget actually binds: no host exceeds 5 fetches in any round
+    val perRound = fetched.groupBy("round", "host").count()
+      .collect().map(_.getLong(2))
+    assert(perRound.forall(_ <= 5))
+    assert(oracle.rounds > 2) // deferral forced extra rounds
+  }
+
+  test("maxPages cap cuts at the same FIFO prefix") {
+    val (oracle, fetched, _) = runBoth(seeds(0), maxDepth = 3,
+      maxPages = 37, budget = Int.MaxValue)
+    val e = engineRows(fetched)
+    assert(e.length == 37)
+    assert(e.toSeq == oracleRows(oracle))
+  }
+
+  test("robots denials recorded as ROBOTS_DENIED and do not expand") {
+    // host1 robots: Disallow /private/ (no effect) — host2: blocks /p/7,/p/13
+    val (oracle, fetched, _) = runBoth(seeds(2), maxDepth = 2,
+      maxPages = 300, budget = Int.MaxValue)
+    val e = engineRows(fetched)
+    assert(e.toSeq == oracleRows(oracle))
+    val denied = e.filter(_._5 == "ROBOTS_DENIED").map(_._2)
+    assert(denied.forall(u => u.endsWith("/p/7") || u.endsWith("/p/13")))
+    assert(e.exists(_._5 == "ROBOTS_DENIED"))
+  }
+
+  test("cross-host crawl (sameHostOnly=false) still matches") {
+    val (oracle, fetched, _) = runBoth(seeds(3), maxDepth = 2,
+      maxPages = 120, budget = Int.MaxValue, sameHost = false)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    val hosts = fetched.select("host").distinct().count()
+    assert(hosts > 1) // cross-host edges were followed
+  }
+
+  test("error statuses present and counted toward maxPages") {
+    val (oracle, fetched, _) = runBoth(seeds(0, 1, 2, 3), maxDepth = 2,
+      maxPages = 400, budget = Int.MaxValue)
+    val statuses = engineRows(fetched).map(_._5).toSet
+    assert(statuses.contains("OK"))
+    assert(statuses.exists(s => s != "OK")) // 404/500/content gates fire
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+  }
+
+  test("extracted text is byte-identical between engine and oracle") {
+    val (oracle, fetched, _) = runBoth(seeds(4), maxDepth = 1,
+      maxPages = 60, budget = Int.MaxValue)
+    val byUrl = oracle.rows.map(e => e.url -> e.text).toMap
+    engineRows(fetched).foreach { case (_, url, _, _, status, _, text) =>
+      if (status == "OK") assert(text == byUrl(url), s"text mismatch for $url")
+    }
+  }
+
+  test("snapshot commit + resume reproduces the uninterrupted crawl") {
+    val dirAll = java.nio.file.Files.createTempDirectory("crawl-all").toString
+    val (oracle, fetchedAll, _) = runBoth(seeds(1), maxDepth = 2,
+      maxPages = 200, budget = 7, store = Some(new SnapshotStore(dirAll)))
+    assert(engineRows(fetchedAll).toSeq == oracleRows(oracle))
+
+    // interrupted run: crash after 2 rounds (round-boundary interruption),
+    // then resume from the committed snapshot with the same config
+    val dir = java.nio.file.Files.createTempDirectory("crawl-resume").toString
+    val store = new SnapshotStore(dir)
+    val ecfgFull = FrontierEngine.Config(2, 200, 7, true, true, 4, web)
+    FrontierEngine.crawl(spark, seeds(1), ecfgFull.copy(maxRounds = 2), Some(store))
+    val roundsAfterPhase1 = store.currentRound.get
+    assert(roundsAfterPhase1 == 2)
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfgFull, Some(store))
+    assert(store.currentRound.get > roundsAfterPhase1)
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+
+    // manifests carry per-partition lineage + status metrics
+    val m = store.manifest(1).get
+    assert(m.contains("\"partitions\""))
+    assert(m.contains("\"status_counts\""))
+  }
+
+  test("bloom prefilter never produces false negatives (no lost URLs)") {
+    import spark.implicits._
+    val hashes = (0L until 5000L).map(i => graft.core.UrlNorm.urlHash(s"http://h$i.example/"))
+    val seenDf = hashes.map(h => (h, s"u$h")).toDF("url_hash", "url")
+    val params = SeenFilter.Params(buckets = 16, bitsPerBucket = 1 << 14)
+    val filters = SeenFilter.build(spark, seenDf, params)
+    // every seen hash must be flagged possibly-seen
+    val cand = hashes.map(h => Tuple1(h)).toDF("url_hash")
+    val (fresh, maybe) = SeenFilter.split(spark, cand, filters, params)
+    assert(fresh.count() == 0)
+    assert(maybe.count() == hashes.size)
+    // unseen hashes: most pass as fresh (fp rate sane), none are dropped
+    val unseen = (100000L until 105000L).map(i => Tuple1(graft.core.UrlNorm.urlHash(s"http://x$i/")))
+      .toDF("url_hash")
+    val (fresh2, maybe2) = SeenFilter.split(spark, unseen, filters, params)
+    assert(fresh2.count() + maybe2.count() == 5000)
+    assert(maybe2.count() < 500) // <10% fp at this sizing
+  }
+}
