@@ -27,14 +27,50 @@ object Html {
   final class Text(var data: String) extends Node
   final class Comment(val data: String) extends Node
   final class Element(val tag: String) extends Node {
-    val attrs = scala.collection.mutable.LinkedHashMap[String, String]()
+    // attrs stored as parallel arrays — most elements carry 0-3 attributes,
+    // so a map per element is pure GC pressure on the extraction hot path
+    private var attrNames: Array[String] = null
+    private var attrVals: Array[String] = null
+    private var attrN = 0
     val children = ArrayBuffer[Node]()
     var removed = false
+    private var classesCache: Array[String] = null
 
-    def attr(name: String): Option[String] = attrs.get(name)
-    def id: String = attrs.getOrElse("id", "")
-    def classes: Set[String] =
-      attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def putAttr(name: String, value: String): Unit = {
+      if (attrNames == null) { attrNames = new Array[String](4); attrVals = new Array[String](4) }
+      var i = 0
+      while (i < attrN) { if (attrNames(i) == name) { attrVals(i) = value; return }; i += 1 }
+      if (attrN == attrNames.length) {
+        attrNames = java.util.Arrays.copyOf(attrNames, attrN * 2)
+        attrVals = java.util.Arrays.copyOf(attrVals, attrN * 2)
+      }
+      attrNames(attrN) = name; attrVals(attrN) = value; attrN += 1
+      if (name == "class") classesCache = null
+    }
+
+    def attrRaw(name: String): String = {
+      var i = 0
+      while (i < attrN) { if (attrNames(i) == name) return attrVals(i); i += 1 }
+      null
+    }
+    def attr(name: String): Option[String] = Option(attrRaw(name))
+    def hasAttr(name: String): Boolean = attrRaw(name) != null
+    def attrNamesSeq: Seq[String] = (0 until attrN).map(attrNames(_))
+    def id: String = { val v = attrRaw("id"); if (v == null) "" else v }
+    def hasClass(c: String): Boolean = {
+      if (classesCache == null) {
+        val v = attrRaw("class")
+        classesCache = if (v == null) Array.empty
+        else v.split("\\s+").filter(_.nonEmpty)
+      }
+      var i = 0
+      while (i < classesCache.length) { if (classesCache(i) == c) return true; i += 1 }
+      false
+    }
+    def classes: Set[String] = {
+      val v = attrRaw("class")
+      if (v == null) Set.empty else v.split("\\s+").filter(_.nonEmpty).toSet
+    }
 
     def append(n: Node): Unit = { n.parent = this; children += n }
 
@@ -154,15 +190,15 @@ object Html {
       case TOpen(tag, attrs, selfClosing) =>
         tag match {
           case "html" =>
-            if (!htmlAttrsSeen) { attrs.foreach { case (k, v) => root.attrs(k) = v }; htmlAttrsSeen = true }
+            if (!htmlAttrsSeen) { attrs.foreach { case (k, v) => root.putAttr(k, v) }; htmlAttrsSeen = true }
           case "head" => // implied
           case "body" =>
             inHead = false; ensureBody()
-            attrs.foreach { case (k, v) => body.attrs(k) = v }
+            attrs.foreach { case (k, v) => body.putAttr(k, v) }
           case t =>
             if (inHead && stack.isEmpty && !headTags.contains(t)) { inHead = false; ensureBody() }
             val el = new Element(t)
-            attrs.foreach { case (k, v) => el.attrs(k) = v }
+            attrs.foreach { case (k, v) => el.putAttr(k, v) }
             // <p> auto-close: a new block tag closes an open <p>
             if (PClosers.contains(t))
               while (stack.nonEmpty && stack.last.tag == "p") stack.remove(stack.length - 1)
@@ -232,8 +268,7 @@ object Html {
           tok match {
             case TOpen(tag, _, false) if RawTextTags.contains(tag) =>
               val closeSeq = "</" + tag
-              val idx0 = html.toLowerCase.indexOf(closeSeq, i)
-              val idx = idx0
+              val idx = indexOfIgnoreCase(html, closeSeq, i)
               if (idx < 0) { out += TText(html.substring(i)); i = n }
               else {
                 if (idx > i) out += TText(html.substring(i, idx))
@@ -247,6 +282,18 @@ object Html {
       }
     }
     out.toSeq
+  }
+
+  /** Case-insensitive indexOf without copying the haystack (the raw-text
+    * close-tag scan runs once per script/style element per page). */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length; val m = needle.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, needle, 0, m)) return i
+      i += 1
+    }
+    -1
   }
 
   private def readTag(html: String, lt: Int): (Token, Int) = {

@@ -147,7 +147,7 @@ object Markdown {
       inlineWrap(e, "*")
     case "strong" | "b" =>
       inlineWrap(e, "**")
-    case "a" if e.attrs.contains("href") =>
+    case "a" if e.hasAttr("href") =>
       val (lead, inner, trail) = flank(e)
       if (inner.isEmpty) lead + trail
       else {

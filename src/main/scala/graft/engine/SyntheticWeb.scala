@@ -41,13 +41,12 @@ object SyntheticWeb {
 
   private def h64(s: String): Long = UrlNorm.urlHash(s)
 
+  private val UrlRe = "http://host(\\d+)\\.example/p/(\\d+)".r
+
   /** Parse a synthetic URL back to (host, page) if it is one of ours. */
-  def parseUrl(url: String): Option[(Int, Int)] = {
-    val m = "http://host(\\d+)\\.example/p/(\\d+)".r
-    url match {
-      case m(h, p) => Some((h.toInt, p.toInt))
-      case _ => None
-    }
+  def parseUrl(url: String): Option[(Int, Int)] = url match {
+    case UrlRe(h, p) => Some((h.toInt, p.toInt))
+    case _ => None
   }
 
   /** robots.txt per host — 5 variants (FIXTURES.md §3). */

