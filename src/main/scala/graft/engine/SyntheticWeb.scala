@@ -148,22 +148,76 @@ object SyntheticWeb {
       case 1 => "</article>"
       case _ => "</div>"
     }
+    // feature-tool material (FIXTURES.md §1): tables, forms, contacts,
+    // social links, JSON-LD, images, meta tags — present on a hash-selected
+    // subset so the tool queries have non-vacuous inputs
+    val tableBlock =
+      if (java.lang.Math.floorMod(h >> 24, 3L) == 0L)
+        s"""<table><thead><tr><th>metric</th><th>value</th></tr></thead>
+           |<tbody><tr><td>depth</td><td>${page % 5}</td></tr>
+           |<tr><td>links</td><td>${cfg.linksPerPage}</td></tr></tbody></table>""".stripMargin
+      else ""
+    val formBlock =
+      if (java.lang.Math.floorMod(h >> 28, 4L) == 0L)
+        s"""<form action="/search" method="get" id="f$page">
+           |<label for="q$page">query</label>
+           |<input type="text" name="q" id="q$page" placeholder="search"/>
+           |<input type="hidden" name="site" value="h$host"/>
+           |<select name="scope"><option value="all">all pages</option>
+           |<option value="host" selected>this host</option></select>
+           |<input type="submit" value="go"/></form>""".stripMargin
+      else ""
+    val contactBlock =
+      if (java.lang.Math.floorMod(h >> 32, 4L) == 0L)
+        s"""<div class="contact-address">Office: 12${page % 90} Example Street, Crawl City</div>
+           |<a href="mailto:editor$host@example.com">mail us</a>
+           |<a href="tel:+1-555-01${(page % 90) + 10}">call +1 (555) 010-2${(page % 80) + 10}</a>""".stripMargin
+      else ""
+    val socialBlock =
+      if (java.lang.Math.floorMod(h >> 36, 4L) == 1L)
+        s"""<a href="https://twitter.com/host$host">@host$host</a>
+           |<a href="https://www.youtube.com/@host${host}channel">videos</a>""".stripMargin
+      else ""
+    val jsonLdBlock =
+      if (java.lang.Math.floorMod(h >> 40, 4L) == 2L)
+        s"""<script type="application/ld+json">{"@context":"https://schema.org",
+           |"@type":"Article","headline":"Doc $host-$page",
+           |"author":{"@type":"Person","name":"$author"}}</script>""".stripMargin
+      else ""
+    val imgBlock =
+      if (java.lang.Math.floorMod(h >> 44, 3L) == 1L)
+        s"""<img src="/img/$page.png" alt="figure $page" width="640" height="480"/>"""
+      else ""
+    val metaExtra =
+      s"""<meta name="description" content="Notes on $topic, part ${page % 7}."/>
+         |<meta name="keywords" content="crawl, $topic"/>
+         |<link rel="canonical" href="$url"/>""".stripMargin
+
     s"""<!DOCTYPE html>
        |<html lang="en">
        |<head>$titleBlock
+       |$metaExtra
        |<meta name="viewport" content="width=device-width"/>
        |</head>
        |<body>
        |<nav class="nav">home | about</nav>
        |$authorBlock
        |$mainOpen
+       |<h2>Part ${page % 7}</h2>
        |<p>$para1</p>
        |<script>track("$page")</script>
        |<div class="ads">buy things</div>
        |<p>$para2</p>
+       |<h3>Details</h3>
        |<ul><li>point one about $topic</li><li>point two</li></ul>
+       |$tableBlock
+       |$imgBlock
+       |$jsonLdBlock
        |$anchors
        |$mainClose
+       |$formBlock
+       |$contactBlock
+       |$socialBlock
        |<div class="sidebar">clutter</div>
        |<footer class="footer">footer text</footer>
        |</body>
