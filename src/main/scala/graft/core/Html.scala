@@ -227,6 +227,27 @@ object Html {
 
   private def isRaw(tag: String): Boolean = tag == "script" || tag == "style" || tag == "textarea"
 
+  /** XML-mode parse (cheerio xmlMode equivalent, used for RSS/Atom feeds):
+    * no void elements, no implied html/head/body, no auto-closing. Returns
+    * a synthetic root wrapping the document's top-level nodes. */
+  def parseXml(xml: String): Element = {
+    val root = new Element("#root")
+    val stack = ArrayBuffer[Element](root)
+    tokenize(xml).foreach {
+      case TText(d) => stack.last.append(new Text(decodeEntities(d)))
+      case TComment(d) => stack.last.append(new Comment(d))
+      case TOpen(tag, attrs, selfClosing) =>
+        val el = new Element(tag)
+        attrs.foreach { case (k, v) => el.putAttr(k, v) }
+        stack.last.append(el)
+        if (!selfClosing) stack += el
+      case TClose(tag) =>
+        val idx = stack.lastIndexWhere(_.tag == tag)
+        if (idx > 0) stack.remove(idx, stack.length - idx)
+    }
+    root
+  }
+
   // ---------------- tokenizer ----------------
   private sealed trait Token
   private final case class TText(data: String) extends Token

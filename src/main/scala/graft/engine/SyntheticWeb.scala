@@ -58,10 +58,37 @@ object SyntheticWeb {
     case _ => "User-agent: *\nAllow: /\n"
   }
 
+  /** Deterministic RSS feed served at /rss per host (extract_feeds
+    * fixtures, server.ts:3165-3266). */
+  def feedXml(host: Int): String = {
+    val items = (0 until 3).map { i =>
+      s"""<item><title>Feed item $i of host$host</title>
+         |<link>http://${hostName(host)}/p/$i</link>
+         |<description>Summary $i for ${hostName(host)}</description>
+         |<pubDate>Mon, 0${i + 1} Jan 2024 00:00:00 GMT</pubDate></item>""".stripMargin
+    }.mkString("\n")
+    s"""<?xml version="1.0"?>
+       |<rss version="2.0"><channel>
+       |<title>host$host feed</title>
+       |<description>Updates from ${hostName(host)}</description>
+       |<link>http://${hostName(host)}/</link>
+       |$items
+       |</channel></rss>""".stripMargin
+  }
+
+  private val FeedRe = "http://host(\\d+)\\.example/rss".r
+
   /** Deterministic fetch: status/content-type/size derived from url hash.
     * URLs outside the synthetic universe (e.g. dangling relative links)
     * return 404 — the error-row path of server.ts:3583-3590. */
   def fetch(cfg: Config, url: String): FetchResult = {
+    url match {
+      case FeedRe(h) =>
+        val body = feedXml(h.toInt)
+        return FetchResult(url, 200, "application/rss+xml",
+          body.getBytes("UTF-8").length.toLong, "", body)
+      case _ =>
+    }
     if (parseUrl(url).isEmpty)
       return FetchResult(url, 404, "text/html", 0L, "", "")
     val h = h64(url)
@@ -191,7 +218,8 @@ object SyntheticWeb {
     val metaExtra =
       s"""<meta name="description" content="Notes on $topic, part ${page % 7}."/>
          |<meta name="keywords" content="crawl, $topic"/>
-         |<link rel="canonical" href="$url"/>""".stripMargin
+         |<link rel="canonical" href="$url"/>
+         |<link rel="alternate" type="application/rss+xml" href="/rss"/>""".stripMargin
 
     s"""<!DOCTYPE html>
        |<html lang="en">

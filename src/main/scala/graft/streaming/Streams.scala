@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming forms of the reference's monitor-family analytics
+  * (SURVEY.md §2e: the reference's monitor tools are one-shot; the
+  * streaming generalization is ours). Two shapes:
+  *
+  *  - windowed uptime stats: watermark + tumbling window over event time,
+  *    per event_type counts/min/max — the monitor_uptime hourly groupBy
+  *    (server.ts:6058-6075) as a continuous query;
+  *  - sessionization via mapGroupsWithState: per-user sessions split on a
+  *    gap timeout — custom state the built-in windows can't express.
+  *
+  * Both run batch-drivable (memory sink + processAllAvailable) so the
+  * driver's local run exercises real streaming plumbing.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Tumbling-window aggregation with watermark over a parquet stream. */
+  def windowedStats(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      // parquet NTZ timestamps -> session-tz instants (watermarks require
+      // TIMESTAMP, not TIMESTAMP_NTZ)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")) * 100).cast("long").as("min_cents"),
+        round(max(col("value")) * 100).cast("long").as("max_cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("min_cents"), col("max_cents"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Gap-based sessionization with mapGroupsWithState (processing-time
+    * batch drive; state = open session per user). */
+  def sessionize(spark: SparkSession, inputDir: String, queryName: String,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      .as[Event]
+
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-sorted within group; emit closed sessions on gaps
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n == 0) st = SessionState(t, t, 1)
+            else if (t - st.last > gapMs) {
+              out += Session(userId, st.start, st.last, st.n)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("events_in_closed_sessions"),
+        max(col("end_ms") - col("start_ms")).as("longest_ms"))
+      .orderBy(col("user_id"))
+  }
+}
