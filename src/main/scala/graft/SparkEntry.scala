@@ -15,7 +15,7 @@ object SparkEntry {
   private def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TextQueries.specs ++ DedupQueries.specs ++
       SimilarityQueries.specs ++ CrawlQueries.specs ++ ToolQueries.specs ++
-      FetchQueries.specs ++ StreamQueries.specs
+      FetchQueries.specs ++ StreamQueries.specs ++ ReportQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

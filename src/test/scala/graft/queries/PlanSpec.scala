@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the optimizations the 100 TB design relies
+  * on must actually appear in the executed plan — filter pushdown to the
+  * parquet scan, column pruning, broadcast of the small dimension side,
+  * map-side partial aggregation, and no Exchange on narrow extract paths.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect() // AQE only materializes the final plan after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 shipdate filter is pushed to the parquet scan") {
+    val p = plan("q02_agg_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"no pushdown in:\n${p.take(2000)}")
+  }
+
+  test("q02 scan reads only the needed columns (pruning)") {
+    val p = plan("q02_agg_revenue")
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey"), s"unpruned scan: $readSchema")
+    assert(!readSchema.contains("l_suppkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("q05 joins broadcast the customer dimension") {
+    val p = plan("q05_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n${p.take(2000)}")
+  }
+
+  test("q02 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q02_agg_revenue")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate(keys"),
+      s"no partial agg in:\n${p.take(2000)}")
+  }
+
+  test("q02 stays inside whole-stage codegen") {
+    val p = plan("q02_agg_revenue")
+    // AQE final plans mark codegen stages with the *(n) prefix
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      s"no codegen stage in:\n${p.take(1200)}")
+  }
+
+  test("q01 single-row agg has exactly one shuffle") {
+    val p = plan("q01_cache_stats")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges in single-agg plan")
+  }
+
+  test("extract kernel path has no shuffle before the UDF (narrow)") {
+    // q32's plan: range -> repartition (1 exchange, deliberate spread) ->
+    // mapPartitions; anything beyond the final sort is a regression
+    val df = graft.SparkEntry.queries("q32_extract_kernel")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"extract path grew $exchanges exchanges:\n${p.take(1500)}")
+  }
+
+  test("q20 minhash candidate join carries no token arrays through any exchange") {
+    val p = plan("q20_minhash_lsh")
+    // at small scale AQE may broadcast the band side instead of shuffling;
+    // either way no Exchange/BroadcastExchange may carry the toks column
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("toks")),
+      s"token arrays ride an exchange:\n${exchangeLines.mkString("\n")}")
+  }
+}
