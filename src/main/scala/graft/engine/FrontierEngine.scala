@@ -152,8 +152,10 @@ object FrontierEngine {
         col("col").as("url"),
         col("parent_order"),
         col("pos").as("link_pos"))
-      .withColumn("url_hash", udf((u: String) => UrlNorm.urlHash(u)).apply(col("url")))
-      .withColumn("host", udf((u: String) => UrlNorm.host(u).getOrElse("")).apply(col("url")))
+      // native Catalyst expressions (codegen'd) — same kernel bit-for-bit
+      .withColumn("url_hash", graft.functions.UrlExpressions.url_hash64(col("url")))
+      .withColumn("host", coalesce(
+        graft.functions.UrlExpressions.url_host(col("url")), lit("")))
       .join(fetchedCached.select(col("order_idx").as("parent_order"),
         (col("depth") + 1).as("depth")), Seq("parent_order"))
       .select(frontierCols: _*).as[FrontierRow]
