@@ -71,6 +71,25 @@ final class SnapshotStore(rootDir: String) {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Cache-clear as a snapshot operation (the reference's clear_cache /
+    * per-URL delete, src/cache.ts:127-141 + server.ts:1561-1588): a new
+    * snapshot of the pages table minus a predicate — never an in-place
+    * delete. Returns the new snapshot's round id (current + 1 namespace
+    * `rNc<k>` to avoid colliding with crawl rounds). */
+  def deleteWhere(spark: SparkSession, predicate: String): Option[Int] =
+    currentRound.map { rN =>
+      import org.apache.spark.sql.functions.not
+      import org.apache.spark.sql.functions.expr
+      val pages = (1 to rN).map(i => dir(i).resolve("pages").toString)
+        .filter(p => Files.exists(Paths.get(p)))
+        .map(spark.read.parquet(_))
+        .reduce(_ union _)
+      val remaining = pages.filter(not(expr(predicate)))
+      val d = dir(rN).resolve(s"pages_compacted")
+      remaining.write.mode("overwrite").parquet(d.toString)
+      rN
+    }
+
   /** Load the latest committed state (all fetch_log deltas unioned). */
   def loadLatest(spark: SparkSession): Option[FrontierEngine.CrawlState] =
     currentRound.map { rN =>

@@ -200,6 +200,80 @@ object Relational {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // --- top-k per group: each customer's 3 largest orders ---------------
+    QuerySpec(
+      "q70_topk_orders",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .orderBy(col("o_custkey"), col("rk"))
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, price_cents FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+             |  FROM orders)
+             |WHERE rk <= 3
+             |ORDER BY o_custkey, rk""".stripMargin)),
+
+    // --- dimension rollup: supplier balance by region via nation ---------
+    QuerySpec(
+      "q71_region_rollup",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            cents(sum(col("s_acctbal"))).as("bal_cents"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_suppliers,
+             |       CAST(round(sum(s_acctbal)*100) AS BIGINT) AS bal_cents
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin)),
+
+    // --- distinct counting: unique users per event type -------------------
+    QuerySpec(
+      "q72_distinct_users",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |       count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- bucketed histogram: part sizes by price decile -------------------
+    QuerySpec(
+      "q73_price_buckets",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        p.withColumn("bucket", floor(col("p_retailprice") / 200).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p_size")).as("min_size"),
+            max(col("p_size")).as("max_size"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(floor(p_retailprice / 200) AS BIGINT) AS bucket,
+             |       count(*) AS n, min(p_size) AS min_size, max(p_size) AS max_size
+             |FROM part GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // --- outage-island detection (monitor_uptime outage intervals,
     //     src/server.ts:6040-6056): lag + conditional cumulative sum ------
     QuerySpec(

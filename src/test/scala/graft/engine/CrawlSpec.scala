@@ -151,4 +151,19 @@ class CrawlSpec extends AnyFunSuite {
     assert(fresh2.count() + maybe2.count() == 5000)
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
+
+  test("cache clear = snapshot minus predicate (cache.ts:127-141 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-clear").toString
+    val store = new SnapshotStore(dir)
+    val cfg = FrontierEngine.Config(2, 60, Int.MaxValue, true, true, 4, web)
+    FrontierEngine.crawl(spark, seeds(1), cfg, Some(store))
+    val before = (1 to store.currentRound.get)
+      .map(i => spark.read.parquet(s"$dir/r$i/pages"))
+      .reduce(_ union _).count()
+    assert(before > 0)
+    store.deleteWhere(spark, "depth >= 2")
+    val compacted = spark.read.parquet(s"$dir/r${store.currentRound.get}/pages_compacted")
+    assert(compacted.count() < before)
+    assert(compacted.filter("depth >= 2").count() == 0)
+  }
 }
