@@ -27,19 +27,36 @@ object SimilarityQueries {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-bit signature from h pseudo-random hyperplanes. Plane p's
+  /** Sign-bit signature from `planes` pseudo-random hyperplanes. Plane p's
     * component i is a deterministic hash-derived value in [-1,1); the sign
-    * of the dot product is one signature bit. Per-row, zero shuffle. */
+    * of the dot product is one signature bit. Single-pass UDF per row
+    * (nested Catalyst HOFs are interpreted per element — the column-algebra
+    * form was measured ~10x slower); zero shuffle. */
+  private val MaxDims = 1024
+
   def rhpSignature(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") *
-            ((hash(i, lit(p)).cast("double") / lit(Int.MaxValue.toDouble)))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    // plane matrix precomputed once (hash-derived, deterministic) and
+    // captured by the closure — per row only the dot products remain
+    val planeMatrix: Array[Array[Double]] = Array.tabulate(planes, MaxDims) { (p, i) =>
+      val h = graft.core.UrlNorm.xxh64(
+        java.nio.ByteBuffer.allocate(8).putInt(i).putInt(p).array(), 0L)
+      h.toDouble / Long.MaxValue.toDouble
     }
-    bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+    val u = udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = planeMatrix(p)
+        var proj = 0.0
+        var i = 0
+        val n = math.min(vec.length, MaxDims)
+        while (i < n) { proj += vec(i) * plane(i); i += 1 }
+        if (proj > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    u(v)
   }
 
   val specs: Seq[QuerySpec] = Seq(
