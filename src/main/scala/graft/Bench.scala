@@ -138,6 +138,22 @@ object Bench {
     (k8, k32)
   }
 
+  /** End-to-end crawl-round throughput: full multi-round crawl (dedupe →
+    * budget → fetch → extract → commit-free) on a larger synthetic web. */
+  private def crawlBench(spark: SparkSession): (Long, Double) = {
+    val web = engine.SyntheticWeb.Config(
+      nHosts = 64, pagesPerHost = 2000, megaFactor = 4, linksPerPage = 12)
+    val cfg = engine.FrontierEngine.Config(
+      maxDepth = 4, maxPages = 20000, hostBudget = 1000,
+      sameHostOnly = false, respectRobots = true, saltBuckets = 8, web = web)
+    val seedList = (0 until 32).map(h => engine.SyntheticWeb.pageUrl(h, 0))
+    val (pages, secs) = time {
+      val (fetched, _) = engine.FrontierEngine.crawl(spark, seedList, cfg)
+      fetched.count()
+    }
+    (pages, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -173,6 +189,13 @@ object Bench {
       val (sched8, pages8) = best(8)
       val (sched32, pages32) = best(32)
       val (k8, k32) = kernelResult.get
+      val crawlRate = {
+        val s = session(32)
+        val (pages, secs) = crawlBench(s)
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        (pages / secs).round
+      }
       val effSched = (sched32 / sched8) / 4.0
       val effPages = (pages32 / pages8) / 4.0
       scalingJson =
@@ -185,6 +208,7 @@ object Bench {
            |"kernel_pages_per_sec_8threads":${k8.round},
            |"kernel_pages_per_sec_32threads":${k32.round},
            |"kernel_efficiency":${f"${(k32 / k8) / 4.0}%.3f"},
+           |"crawl_pages_per_sec_local32":$crawlRate,
            |"sched_rows":$schedN,"extract_rows":$extractN}""".stripMargin.replace("\n", "")
     }
 

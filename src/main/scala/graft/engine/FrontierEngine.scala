@@ -231,11 +231,13 @@ object FrontierEngine {
           // localCheckpoint truncates the iterative plan lineage — without
           // it each round's DAG embeds all previous rounds and the driver
           // OOMs on plan strings alone (on a cluster: use reliable
-          // checkpoint dirs / the SnapshotStore parquet as the cut point)
+          // checkpoint dirs / the SnapshotStore parquet as the cut point).
+          // `fetched` needs no checkpoint: each round's delta is already
+          // cached with flat lineage, so the union stays shallow.
           val newState = CrawlState(
             frontier = r.newFrontier.toDF().localCheckpoint(true),
             seen = state.seen.union(r.seenDelta).localCheckpoint(true),
-            fetched = state.fetched.union(r.fetched).localCheckpoint(true),
+            fetched = state.fetched.union(r.fetched),
             round = state.round + 1,
             fetchedCount = state.fetchedCount + r.taken)
           store.foreach(_.commit(spark, newState, r))
