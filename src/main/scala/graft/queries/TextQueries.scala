@@ -252,6 +252,64 @@ object TextQueries {
              |ORDER BY n DESC, bigram ASC
              |LIMIT 30""".stripMargin)),
 
+    // --- BPE-ish regex tokenization: letter-runs / digit-runs / punct-runs
+    //     (the GPT-2 pre-tokenizer shape, lookahead-free so the RE2 oracle
+    //     agrees) ----------------------------------------------------------
+    QuerySpec(
+      "q74_bpe_tokens",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+        d.select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"),
+            size(filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
+              t => t.rlike("^[0-9]+$"))).as("n_number_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+             |       len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'),
+             |                       t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- rolling-hash fingerprint (winnowing): min Rabin-Karp hash over a
+    //     sliding byte window — robust doc identity under local edits ------
+    QuerySpec(
+      "q75_rolling_fp",
+      (s, dir) => {
+        val winnow = udf { (text: String) =>
+          // Rabin-Karp rolling hash, window 16 bytes, base 257 mod 2^61-1;
+          // fingerprint = min hash over all windows (winnowing w=all)
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 16
+          val mod = (1L << 61) - 1
+          val base = 257L
+          if (bytes.length < w)
+            graft.core.UrlNorm.xxh64(bytes, 0L)
+          else {
+            var pow = 1L
+            var i = 0
+            while (i < w - 1) { pow = pow * base % mod; i += 1 }
+            var h = 0L
+            i = 0
+            while (i < w) { h = (h * base + (bytes(i) & 0xFF)) % mod; i += 1 }
+            var minH = h
+            while (i < bytes.length) {
+              h = (h - (bytes(i - w) & 0xFF) * pow % mod + mod * 256) % mod
+              h = (h * base + (bytes(i) & 0xFF)) % mod
+              if (h < minH) minH = h
+              i += 1
+            }
+            minH
+          }
+        }
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), winnow(col("text")).as("rolling_fp"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // --- document fingerprint: rolling/content hash per doc ---------------
     QuerySpec(
       "q18_fingerprint",
