@@ -331,6 +331,8 @@ object Html {
       if (i < n && html.charAt(i) == '>') { i += 1; done = true }
       else if (i < n && html.charAt(i) == '/' && i + 1 < n && html.charAt(i + 1) == '>') {
         selfClosing = true; i += 2; done = true
+      } else if (i < n && html.charAt(i) == '/') {
+        i += 1 // stray slash inside a tag (e.g. <a / x>): skip, don't loop
       } else if (i < n) {
         // attribute name
         val as = i

@@ -229,6 +229,7 @@ object Selector {
           while (i < n && !isDelim(s.charAt(i))) i += 1
           val t = s.substring(st, i).toLowerCase
           if (t.nonEmpty) simples += Tag(t)
+          else i += 1 // stray delimiter (e.g. unmatched ']'): skip, don't loop
       }
     }
     Compound(simples.toSeq)
