@@ -90,6 +90,15 @@ final class SnapshotStore(rootDir: String) {
       rN
     }
 
+  /** Time travel: read the pages table AS OF a committed round — union of
+    * all page deltas up to `round` (Iceberg snapshot-read semantics). */
+  def pagesAsOf(spark: SparkSession, round: Int): DataFrame =
+    (1 to round)
+      .map(i => dir(i).resolve("pages"))
+      .filter(p => Files.exists(p))
+      .map(p => spark.read.parquet(p.toString))
+      .reduce(_ union _)
+
   /** Load the latest committed state (all fetch_log deltas unioned). */
   def loadLatest(spark: SparkSession): Option[FrontierEngine.CrawlState] =
     currentRound.map { rN =>

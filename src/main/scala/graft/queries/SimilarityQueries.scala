@@ -131,6 +131,80 @@ object SimilarityQueries {
       },
       None),
 
+    // --- IVF ANN: coarse quantization to hash-seeded centroids, probe the
+    //     nearest nprobe cells, exact rerank within them — the classic
+    //     inverted-file index as a Spark pipeline (centroids broadcast;
+    //     only same-cell pairs join) -----------------------------------------
+    QuerySpec(
+      "q76_knn_ivf",
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val nCells = 16
+        val nProbe = 6
+        val dims = 64
+        // centroid training: hash-seeded init + 2 Lloyd iterations over a
+        // deterministic sample (standard IVF training; sample is bounded so
+        // the driver-side step stays O(sample), not O(table))
+        val init: Array[Array[Double]] = Array.tabulate(nCells, dims) { (c, i) =>
+          val h = graft.core.UrlNorm.xxh64(
+            java.nio.ByteBuffer.allocate(8).putInt(c).putInt(i).array(), 11L)
+          h.toDouble / Long.MaxValue.toDouble
+        }
+        val sample = e.orderBy(col("vec_id")).limit(1000)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        var centroids = init
+        (0 until 2).foreach { _ =>
+          val sums = Array.fill(nCells, dims)(0.0)
+          val counts = new Array[Int](nCells)
+          sample.foreach { v =>
+            var bestC = 0; var bestD = Double.NegativeInfinity
+            var c = 0
+            while (c < nCells) {
+              var d = 0.0; var i = 0
+              while (i < dims) { d += v(i) * centroids(c)(i); i += 1 }
+              if (d > bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            var i = 0
+            while (i < dims) { sums(bestC)(i) += v(i); i += 1 }
+            counts(bestC) += 1
+          }
+          centroids = Array.tabulate(nCells, dims) { (c, i) =>
+            if (counts(c) > 0) sums(c)(i) / counts(c) else centroids(c)(i)
+          }
+        }
+        val bc = s.sparkContext.broadcast(centroids)
+        def cellsOf(k: Int) = udf { (vec: Seq[Float]) =>
+          val cs = bc.value
+          val scored = cs.indices.map { c =>
+            var d = 0.0
+            var i = 0
+            while (i < dims) { d += vec(i) * cs(c)(i); i += 1 }
+            (c, d)
+          }.sortBy(-_._2).take(k).map(_._1)
+          scored
+        }
+        // data side: each vector in its single best cell; query side probes
+        // nProbe cells — exact cosine rerank only within probed cells
+        val data = e.withColumn("cell",
+          explode(cellsOf(1)(col("embedding"))))
+          .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        val queries = e.filter(col("vec_id") < 5)
+          .withColumn("cell", explode(cellsOf(nProbe)(col("embedding"))))
+          .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val cand = queries.join(data, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(cosine(col("qv"), col("cv")).desc, col("neighbor_id").asc)
+        cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // --- per-label centroid stats (embedding clustering summary) ----------
     QuerySpec(
       "q26_label_stats",

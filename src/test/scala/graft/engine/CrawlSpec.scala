@@ -166,4 +166,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(compacted.count() < before)
     assert(compacted.filter("depth >= 2").count() == 0)
   }
+
+  test("time travel: pages AS OF round r is a strict prefix of the table") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-tt").toString
+    val store = new SnapshotStore(dir)
+    val cfg = FrontierEngine.Config(2, 120, 7, true, true, 4, web)
+    FrontierEngine.crawl(spark, seeds(1), cfg, Some(store))
+    val last = store.currentRound.get
+    assert(last >= 2)
+    val early = store.pagesAsOf(spark, 1).count()
+    val full = store.pagesAsOf(spark, last).count()
+    assert(early < full)
+    // AS OF 1 equals exactly round 1's delta
+    assert(early == spark.read.parquet(s"$dir/r1/pages").count())
+  }
+
+  test("mega-host skew: one round's fetches spread across salt partitions") {
+    // host0 has 4x the pages; with a large budget one round fetches many
+    // host0 urls — the salted repartition must spread them over multiple
+    // partitions rather than serializing the mega-host in one task
+    val cfg = FrontierEngine.Config(2, 400, Int.MaxValue, true, true, 4, web)
+    val (fetched, _) = FrontierEngine.crawl(spark, seeds(0), cfg)
+    val h0 = fetched.filter(org.apache.spark.sql.functions.col("host") === "host0.example")
+    val byRound = h0.groupBy("round").count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val bigRound = byRound.maxBy(_._2)._1
+    val parts = h0.filter(org.apache.spark.sql.functions.col("round") === bigRound)
+      .select("partition_id").distinct().count()
+    assert(byRound(bigRound) > 8, s"round sizes: $byRound")
+    assert(parts > 1, s"mega-host serialized into one partition (round $bigRound)")
+  }
 }

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality gates: the scale-path indexes (RHP-LSH q25, IVF q76) must
+  * recover a reasonable fraction of the exact top-5 (q24) — on this corpus
+  * the vectors are weakly clustered (max pairwise cosine ~0.44), which is
+  * the hard case for ANN, so the bars are conservative. */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("ann-recall")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF recall@5 vs brute force >= 0.4") {
+    val brute = pairs("q24_knn_brute")
+    val ivf = pairs("q76_knn_ivf")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
+  test("LSH ANN recall@5 vs brute force >= 0.2") {
+    val brute = pairs("q24_knn_brute")
+    val lsh = pairs("q25_knn_lsh")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall")
+  }
+}
