@@ -24,6 +24,24 @@ object SeenFilter {
   /** Bits sized for ~1% fp at `expectedPerBucket` items, k=7. */
   final case class Params(buckets: Int = 64, bitsPerBucket: Int = 1 << 16, k: Int = 7)
 
+  object Params {
+    /** Size the filter from the actual seen-set cardinality: ~10 bits/item
+      * at k=7 ⇒ <1% false positives (the default 64×2^16 bits saturates —
+      * ~100% FP, dead-weight prefilter — past ~4M URLs). Buckets scale with
+      * the item count so each broadcast filter stays ≤ 2^26 bits (8 MiB);
+      * at 10^10 URLs that is ~1526 buckets of 8 MiB — each executor only
+      * needs the buckets its partition probes. */
+    def forCount(seenCount: Long): Params = {
+      val totalBits = math.max(1L << 16, seenCount * 10)
+      val maxBitsPerBucket = 1L << 26
+      val buckets = math.max(64L, (totalBits + maxBitsPerBucket - 1) / maxBitsPerBucket)
+      var bits = 1L << 16
+      while (bits < (totalBits + buckets - 1) / buckets && bits < maxBitsPerBucket)
+        bits <<= 1
+      Params(buckets.toInt, bits.toInt, k = 7)
+    }
+  }
+
   final class BloomAgg(bits: Int, k: Int)
       extends Aggregator[Long, Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = new Array[Byte](bits / 8)

@@ -80,34 +80,35 @@ final class SnapshotStore(rootDir: String) {
     currentRound.map { rN =>
       import org.apache.spark.sql.functions.not
       import org.apache.spark.sql.functions.expr
-      val pages = (1 to rN).map(i => dir(i).resolve("pages").toString)
+      val paths = (1 to rN).map(i => dir(i).resolve("pages").toString)
         .filter(p => Files.exists(Paths.get(p)))
-        .map(spark.read.parquet(_))
-        .reduce(_ union _)
+      val pages = spark.read.parquet(paths: _*)
       val remaining = pages.filter(not(expr(predicate)))
       val d = dir(rN).resolve(s"pages_compacted")
       remaining.write.mode("overwrite").parquet(d.toString)
       rN
     }
 
-  /** Time travel: read the pages table AS OF a committed round — union of
-    * all page deltas up to `round` (Iceberg snapshot-read semantics). */
-  def pagesAsOf(spark: SparkSession, round: Int): DataFrame =
-    (1 to round)
+  /** Time travel: read the pages table AS OF a committed round — all page
+    * deltas up to `round` as ONE multi-path scan (Iceberg snapshot-read
+    * semantics). A per-round union would grow the plan O(rounds); a single
+    * relation keeps the plan O(1) and lets the scheduler pack splits. */
+  def pagesAsOf(spark: SparkSession, round: Int): DataFrame = {
+    val paths = (1 to round)
       .map(i => dir(i).resolve("pages"))
       .filter(p => Files.exists(p))
-      .map(p => spark.read.parquet(p.toString))
-      .reduce(_ union _)
+      .map(_.toString)
+    spark.read.parquet(paths: _*)
+  }
 
-  /** Load the latest committed state (all fetch_log deltas unioned). */
+  /** Load the latest committed state (all fetch_log deltas, one scan). */
   def loadLatest(spark: SparkSession): Option[FrontierEngine.CrawlState] =
     currentRound.map { rN =>
       val d = dir(rN)
       val frontier = spark.read.parquet(d.resolve("frontier").toString)
       val seen = spark.read.parquet(d.resolve("seen").toString)
-      val fetched = (1 to rN).map(i =>
-        spark.read.parquet(dir(i).resolve("fetch_log").toString))
-        .reduce(_ union _)
+      val fetched = spark.read.parquet(
+        (1 to rN).map(i => dir(i).resolve("fetch_log").toString): _*)
       val count = manifest(rN)
         .flatMap(m => "\"fetched_count\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong))
         .getOrElse(fetched.count())

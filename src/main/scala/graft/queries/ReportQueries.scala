@@ -34,24 +34,28 @@ object ReportQueries {
     QuerySpec("q65_traffic_wow",
       (s, dir) => {
         val e = s.read.parquet(s"$dir/events.parquet")
-        val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        val daily = e.groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")) * 100).cast("long").as("value_cents"))
-        val w = Window.orderBy(col("day"))
+        // window partitioned by the series key — a global ORDER BY-only
+        // window pulls every row into one partition (scale-killer on a
+        // years-long series); per-type partitions shuffle-scale instead
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         daily
           .withColumn("n_prev_week", lag(col("n"), 7).over(w))
           .withColumn("wow_delta",
             when(col("n_prev_week").isNotNull, col("n") - col("n_prev_week")))
-          .orderBy(col("day"))
+          .orderBy(col("event_type"), col("day"))
       },
-      Some("""SELECT day, n, value_cents,
-             |       lag(n, 7) OVER (ORDER BY day) AS n_prev_week,
-             |       CASE WHEN lag(n, 7) OVER (ORDER BY day) IS NOT NULL
-             |            THEN n - lag(n, 7) OVER (ORDER BY day) END AS wow_delta
-             |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      Some("""SELECT event_type, day, n, value_cents,
+             |       lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_prev_week,
+             |       CASE WHEN lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL
+             |            THEN n - lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) END AS wow_delta
+             |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
              |             CAST(round(sum(value)*100) AS BIGINT) AS value_cents
-             |      FROM events GROUP BY 1)
-             |ORDER BY day""".stripMargin)),
+             |      FROM events GROUP BY 1, 2)
+             |ORDER BY event_type, day""".stripMargin)),
 
     // generate_meta_tags (server.ts:5097-5169): og/twitter/basic tag
     // strings templated from extracted metadata + keyword core
@@ -122,14 +126,35 @@ object ReportQueries {
         .orderBy("url")
     }, None),
 
-    // embedding-cosine near-dup: pairs above 0.95 via LSH buckets + exact
-    // cosine confirm (the embedding leg of the dedup family)
+    // embedding-cosine near-dup at a realistic 0.999 threshold. The corpus
+    // has no natural near-dups (max pairwise cosine ~0.44), so the query
+    // plants them: every vector gets a deterministic clone (vec_id+10^6,
+    // each dim scaled by 1 + ((vec_id+dim) mod 5 - 2)·1e-4 ⇒ cosine
+    // ≈ 1-1e-8) — the standard recall-measurement setup for a dedup
+    // pipeline. Scale path: 32-plane RHP signatures, 4 bands × 8 bits
+    // (≥256 buckets/band — never Θ(n²/16) mega-buckets), single-pass UDF
+    // cosine confirm only inside colliding buckets. DuckDB oracles the
+    // end result by brute force (all pairs ≥ 0.999 == exactly the planted
+    // pairs; band collision for cosine 1-1e-8 misses with prob ~1e-14).
     QuerySpec("q23_embedding_dup", (s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("sig", SimilarityQueries.rhpSignature(col("embedding"), 16))
-      val banded = e.select(col("vec_id"), col("embedding"), posexplode(
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val clone = udf { (id: Long, v: Seq[Float]) =>
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          out(i) = (v(i).toDouble * (1.0 + (((id + i) % 5) - 2) * 1e-4)).toFloat
+          i += 1
+        }
+        out
+      }
+      val cloned = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        clone(col("vec_id"), col("embedding")).as("embedding"))
+      val corpus = base.unionByName(cloned)
+        .withColumn("sig", SimilarityQueries.rhpSignature(col("embedding"), 32))
+      val banded = corpus.select(col("vec_id"), col("embedding"), posexplode(
         array((0 until 4).map(b =>
-          shiftrightunsigned(col("sig"), b * 4).bitwiseAND(0xFL)): _*)))
+          shiftrightunsigned(col("sig"), b * 8).bitwiseAND(0xFFL)): _*)))
         .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket")
       val a = banded.select(col("band_id"), col("bucket"),
         col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -138,15 +163,34 @@ object ReportQueries {
       a.join(b, Seq("band_id", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
-        .withColumn("sim", SimilarityQueries.cosine(col("va"), col("vb")))
-        // threshold sits in the top tail of this corpus's cosine
-        // distribution (max observed ~0.44; a real near-dup corpus would
-        // use ~0.95) so the operator is exercised non-vacuously
-        .filter(col("sim") >= 0.40)
+        .withColumn("sim", SimilarityQueries.cosineUdf(col("va"), col("vb")))
+        .filter(col("sim") >= 0.999)
         .select(col("id_a"), col("id_b"),
           round(col("sim") * 10000).cast("long").as("sim_x10000"))
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some("""WITH corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |         list_transform(generate_series(1, len(embedding)),
+              |           i -> CAST(CAST(embedding[i] AS DOUBLE) *
+              |                (1.0 + (((vec_id + i - 1) % 5) - 2) * 0.0001) AS FLOAT))
+              |           AS embedding
+              |  FROM embeddings),
+              |normed AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+              |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+              |  FROM corpus),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+              |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              |    / (a.nrm * b.nrm) AS sim
+              |  FROM normed a, normed b WHERE a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, CAST(round(sim * 10000) AS BIGINT) AS sim_x10000
+              |FROM pairs WHERE sim >= 0.999
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // resources/list catalog surface (server.ts:1407-1419): the pages
     // table as a listable catalog with cache:// URIs + re-extract on read

@@ -27,6 +27,23 @@ object SimilarityQueries {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Single-pass cosine UDF — the hot-path form. Catalyst HOFs
+    * (aggregate∘zip_with) are interpreted per element (~10-20x slower,
+    * BASELINE.md); this walks each vector pair once in index order, so the
+    * accumulation order still matches the DuckDB oracle's list_sum. */
+  val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
   /** Sign-bit signature from `planes` pseudo-random hyperplanes. Plane p's
     * component i is a deterministic hash-derived value in [-1,1); the sign
     * of the dot product is one signature bit. Single-pass UDF per row
@@ -121,7 +138,7 @@ object SimilarityQueries {
         val cand = q.join(c, Seq("band_id", "bucket"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .dropDuplicates("query_id", "neighbor_id")
-        val scored = cand.withColumn("sim", cosine(col("qv"), col("cv")))
+        val scored = cand.withColumn("sim", cosineUdf(col("qv"), col("cv")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id").asc)
         scored.withColumn("rank", row_number().over(w))
@@ -197,7 +214,7 @@ object SimilarityQueries {
           .filter(col("query_id") =!= col("neighbor_id"))
           .dropDuplicates("query_id", "neighbor_id")
         val w = Window.partitionBy(col("query_id"))
-          .orderBy(cosine(col("qv"), col("cv")).desc, col("neighbor_id").asc)
+          .orderBy(cosineUdf(col("qv"), col("cv")).desc, col("neighbor_id").asc)
         cand.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -167,15 +167,18 @@ object ToolQueries {
             graft.core.Extract.Options(format = "text"))
           (u, e.title, e.content, e.wordCount)
         }.toDF("url", "title", "text", "word_count")
-      val a = p.select(col("url").as("url_a"), col("title").as("title_a"),
-        col("text").as("text_a"), col("word_count").as("wc_a"))
-      val b = p.select(col("url").as("url_b"), col("title").as("title_b"),
-        col("text").as("text_b"), col("word_count").as("wc_b"))
+      // pair pages within the same host group: the group key is the JOIN key
+      // (hash/sort-merge equi-join), `<` is a post-join filter — a theta-only
+      // join would plan as BroadcastNestedLoop (cartesian at scale)
+      val keyed = p.withColumn("grp", substring(col("url"), 12, 1))
+      val a = keyed.select(col("grp"), col("url").as("url_a"),
+        col("title").as("title_a"), col("text").as("text_a"))
+      val b = keyed.select(col("grp"), col("url").as("url_b"),
+        col("title").as("title_b"), col("text").as("text_b"))
       val sim = udf((x: String, y: String) =>
         math.round(PageTools.textSimilarity(x, y) * 10000))
-      a.join(b, col("url_a") < col("url_b"))
-        .filter(substring(col("url_a"), 12, 1) === substring(col("url_b"), 12, 1))
-        .limit(500)
+      a.join(b, Seq("grp"))
+        .filter(col("url_a") < col("url_b"))
         .withColumn("jaccard_x10000", sim(col("text_a"), col("text_b")))
         .select(col("url_a"), col("url_b"),
           (col("title_a") === col("title_b")).as("title_match"),

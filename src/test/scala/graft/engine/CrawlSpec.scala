@@ -152,6 +152,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
 
+  test("Params.forCount keeps fp rate <5% at 100x the default sizing") {
+    import spark.implicits._
+    // default Params saturate past ~4M URLs; forCount must stay <5% fp.
+    // 400k items stands in for 100x-the-default-per-bucket density: the
+    // derived sizing must allocate >=10 bits/item regardless of scale.
+    val n = 400000
+    val params = SeenFilter.Params.forCount(n)
+    assert(params.buckets.toLong * params.bitsPerBucket >= n * 10L,
+      s"undersized: $params for $n items")
+    val seenDf = spark.range(n)
+      .selectExpr("xxhash64(concat('http://seen', id, '.example/')) AS url_hash")
+    val filters = SeenFilter.build(spark, seenDf, params)
+    val unseen = spark.range(20000)
+      .selectExpr("xxhash64(concat('http://unseen', id, '.other/')) AS url_hash")
+    val (fresh, maybe) = SeenFilter.split(spark, unseen, filters, params)
+    val fp = maybe.count().toDouble / (fresh.count() + maybe.count())
+    assert(fp < 0.05, s"fp rate $fp at sizing $params")
+    // and scaling: 10^10 items must still cap each bucket's filter at 8 MiB
+    val huge = SeenFilter.Params.forCount(10000000000L)
+    assert(huge.bitsPerBucket <= (1 << 26))
+    assert(huge.buckets.toLong * huge.bitsPerBucket >= 10000000000L * 10L * 9 / 10)
+  }
+
   test("cache clear = snapshot minus predicate (cache.ts:127-141 semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("crawl-clear").toString
     val store = new SnapshotStore(dir)

@@ -73,6 +73,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"extract path grew $exchanges exchanges:\n${p.take(1500)}")
   }
 
+  test("q51 compare plans as an equi-join, not BroadcastNestedLoop") {
+    val p = plan("q51_compare")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"theta-join shape survived:\n${p.take(2000)}")
+  }
+
+  test("q65 lag window is partitioned (no SinglePartition exchange)") {
+    val p = plan("q65_traffic_wow")
+    // the final presentation orderBy is a range exchange; the WINDOW itself
+    // must be hash-partitioned by the series key, never SinglePartition
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"no window in plan:\n${p.take(1200)}")
+    val beforeWindow = p.substring(winIdx)
+    assert(beforeWindow.contains("hashpartitioning(event_type") ||
+      p.contains("hashpartitioning(event_type"),
+      s"window not partitioned by event_type:\n${p.take(2500)}")
+  }
+
+  test("q23 embedding dedup buckets are 8-bit (no mega-bucket Θ(n²/16) join)") {
+    val p = plan("q23_embedding_dup")
+    assert(p.contains("& 255"), s"bands are not 8-bit:\n${p.take(2000)}")
+  }
+
   test("q20 minhash candidate join carries no token arrays through any exchange") {
     val p = plan("q20_minhash_lsh")
     // at small scale AQE may broadcast the band side instead of shuffling;
