@@ -5,10 +5,13 @@ import graft.engine.{FrontierEngine, SyntheticWeb}
 
 /** Crawl-engine query pack — the frontier scheduler, politeness budgets,
   * robots gating, and the extraction kernel as driver-runnable queries.
-  * Non-SQL ops (no DuckDB oracle): their exactness oracle is the scalar BFS
-  * reimplementation in CrawlSpec (engine order/seen-set/text must equal it
-  * byte-for-byte). The sfDir parameter is unused — the input is the
-  * deterministic synthetic web (FIXTURES.md), not the TPC-H tables.
+  * The exactness oracle for ORDERING/seen-set semantics is the scalar BFS
+  * reimplementation in CrawlSpec (engine order/seen-set/text equals it
+  * byte-for-byte); the DuckDB oracle covers the driver-checkable layer:
+  * engine outputs are materialized ([[OracleMat]]) and the downstream
+  * rollups (per-round budgets, status counts, link-graph degree, word
+  * recounts) plus the BFS depth-monotonicity invariant are recomputed in
+  * SQL.
   */
 object CrawlQueries {
 
@@ -17,33 +20,65 @@ object CrawlQueries {
   private def seeds(hosts: Int*) = hosts.map(h => SyntheticWeb.pageUrl(h, 0)).toList
 
   val specs: Seq[QuerySpec] = Seq(
-    // full BFS crawl: emitted rows in exact crawl order
+    // full BFS crawl: emitted rows in exact crawl order (the ordering
+    // contract itself is CrawlSpec's scalar-BFS oracle); the driver oracle
+    // additionally re-asserts BFS depth-monotonicity via a per-depth
+    // range-disjointness rollup (no global row window — depth count is
+    // bounded, order_idx ranges must not interleave)
     QuerySpec(
       "q30_crawl_bfs",
       (s, _) => {
         val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
           hostBudget = Int.MaxValue, web = web)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1, 2, 3), cfg)
-        fetched.select("order_idx", "url", "depth", "round", "status", "title")
-          .orderBy("order_idx")
+        val rows = OracleMat(s, "q30")(
+          fetched.select("order_idx", "url", "depth", "round", "status", "title"))
+        val perDepth = rows.groupBy(col("depth"))
+          .agg(count(lit(1)).as("n"),
+            min(col("order_idx")).as("min_idx"),
+            max(col("order_idx")).as("max_idx"),
+            countDistinct(col("url")).as("n_urls"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("depth"))
+        perDepth // depth cardinality is bounded (maxDepth), window is tiny
+          .withColumn("bfs_disjoint",
+            coalesce(col("min_idx") > lag(col("max_idx"), 1).over(w), lit(true)))
+          .orderBy("depth")
       },
-      None),
+      Some(s"""WITH d AS (
+              |  SELECT depth, count(*) AS n, min(order_idx) AS min_idx,
+              |         max(order_idx) AS max_idx,
+              |         count(DISTINCT url) AS n_urls
+              |  FROM ${OracleMat.src("q30")} GROUP BY depth)
+              |SELECT depth, n, min_idx, max_idx, n_urls,
+              |       coalesce(min_idx > lag(max_idx, 1) OVER (ORDER BY depth), true)
+              |         AS bfs_disjoint
+              |FROM d ORDER BY depth""".stripMargin)),
 
-    // politeness: budget 5/host/round — per-round-host fetch counts
+    // politeness: budget 5/host/round — per-round-host fetch counts, and
+    // the oracle re-asserts the budget cap arithmetic
     QuerySpec(
       "q31_crawl_polite",
       (s, _) => {
         val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
           hostBudget = 5, web = web)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
-        fetched.groupBy(col("round"), col("host"))
+        val rows = OracleMat(s, "q31")(
+          fetched.select("round", "host", "status", "url"))
+        rows.groupBy(col("round"), col("host"))
           .agg(count(lit(1)).as("fetched"),
-            sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"))
+            sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"),
+            (count(lit(1)) <= 5).as("within_budget"))
           .orderBy(col("round"), col("host"))
       },
-      None),
+      Some(s"""SELECT round, host, count(*) AS fetched,
+              |       CAST(sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+              |       count(*) <= 5 AS within_budget
+              |FROM ${OracleMat.src("q31")}
+              |GROUP BY round, host ORDER BY round, host""".stripMargin)),
 
-    // the extraction kernel as a distributed per-row UDF over synthetic pages
+    // the extraction kernel as a distributed per-row UDF over synthetic
+    // pages; the oracle independently RECOUNTS words from the extracted
+    // text (cross-engine verification of countWords, not a round-trip)
     QuerySpec(
       "q32_extract_kernel",
       (s, _) => {
@@ -59,14 +94,18 @@ object CrawlQueries {
             graft.core.Extract.Options(format = "text"))
           (e.title, e.author.getOrElse(""), e.content, e.wordCount)
         }
-        pages.withColumn("x", extractUdf(col("html"), col("url")))
+        val kernel = pages.withColumn("x", extractUdf(col("html"), col("url")))
           .select(col("url"), col("x._1").as("title"), col("x._2").as("author"),
             col("x._3").as("text"), col("x._4").as("word_count"))
-          .orderBy(col("url"))
+        OracleMat(s, "q32")(kernel).orderBy(col("url"))
       },
-      None),
+      Some(s"""SELECT url, title, author, text,
+              |       len(list_filter(regexp_split_to_array(text, '\\s+'),
+              |           x -> x <> '')) AS word_count
+              |FROM ${OracleMat.src("q32")} ORDER BY url""".stripMargin)),
 
-    // link graph: edges from the extract stage → in-degree ranking
+    // link graph: edges from the extract stage → in-degree ranking,
+    // recomputed by the oracle from the materialized edge table
     QuerySpec(
       "q33_link_graph",
       (s, _) => {
@@ -81,11 +120,17 @@ object CrawlQueries {
               SyntheticWeb.pageLinks(fr.html, u, sameHostOnly = false).map(dst => (u, dst))
             else Seq.empty
           }.toDF("src", "dst")
-        edges.groupBy(col("dst")).agg(count(lit(1)).as("in_degree"))
+        OracleMat(s, "q33")(edges)
+          .groupBy(col("dst")).agg(count(lit(1)).as("in_degree"),
+            countDistinct(col("src")).as("n_sources"))
           .orderBy(col("in_degree").desc, col("dst").asc)
           .limit(50)
       },
-      None),
+      Some(s"""SELECT dst, count(*) AS in_degree,
+              |       count(DISTINCT src) AS n_sources
+              |FROM ${OracleMat.src("q33")}
+              |GROUP BY dst ORDER BY in_degree DESC, dst ASC
+              |LIMIT 50""".stripMargin)),
 
     // robots gate: per-status outcome counts over a crawl with denials
     QuerySpec(
@@ -94,9 +139,14 @@ object CrawlQueries {
         val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
           hostBudget = Int.MaxValue, web = web)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(2, 7), cfg)
-        fetched.groupBy(col("status")).agg(count(lit(1)).as("n"))
+        val rows = OracleMat(s, "q34")(fetched.select("status", "host"))
+        rows.groupBy(col("status")).agg(count(lit(1)).as("n"),
+            countDistinct(col("host")).as("n_hosts"))
           .orderBy(col("status"))
       },
-      None)
+      Some(s"""SELECT status, count(*) AS n,
+              |       count(DISTINCT host) AS n_hosts
+              |FROM ${OracleMat.src("q34")}
+              |GROUP BY status ORDER BY status""".stripMargin))
   )
 }

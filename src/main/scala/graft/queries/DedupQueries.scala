@@ -73,8 +73,10 @@ object DedupQueries {
   val Bands = 8
 
   val specs: Seq[QuerySpec] = Seq(
-    // --- MinHash + LSH near-dup pairs (no SQL oracle: verified by the
-    //     exact-Jaccard cross-check inside the query itself + ScalaTest) ---
+    // --- MinHash + LSH near-dup pairs. Oracle: the LSH candidate set and
+    //     the per-doc word sets are materialized; DuckDB independently
+    //     recomputes the exact-Jaccard confirm join (the distributed part);
+    //     signature/banding exactness is ScalaTest-gated. -----------------
     QuerySpec(
       "q20_minhash_lsh",
       (s, dir) => {
@@ -89,13 +91,15 @@ object DedupQueries {
           .withColumnRenamed("col", "band_hash")
         val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
         val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-        val cand = a.join(b, Seq("band_id", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
+        val cand = OracleMat(s, "q20_cand")(
+          a.join(b, Seq("band_id", "band_hash"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"))
+            .dropDuplicates("doc_a", "doc_b"))
         // exact Jaccard confirmation over word sets (src/server.ts:24-39):
         // rejoin the (deduped) token sets only for surviving candidates
-        val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
+        val sets = OracleMat(s, "q20_sets")(
+          d.select(col("doc_id"), array_distinct(col("toks")).as("set")))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
@@ -105,7 +109,18 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), col("inter"), col("union_"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some(s"""WITH cand AS (SELECT doc_a, doc_b FROM ${OracleMat.src("q20_cand")}),
+              |sets AS (SELECT doc_id, "set" AS ws FROM ${OracleMat.src("q20_sets")}),
+              |scored AS (
+              |  SELECT c.doc_a, c.doc_b,
+              |         len(list_intersect(sa.ws, sb.ws)) AS inter,
+              |         len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws)) AS union_
+              |  FROM cand c
+              |  JOIN sets sa ON sa.doc_id = c.doc_a
+              |  JOIN sets sb ON sb.doc_id = c.doc_b)
+              |SELECT doc_a, doc_b, inter, union_
+              |FROM scored WHERE inter * 10 >= union_ * 8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // --- SimHash fingerprints + hamming-≤3 near-dup pairs -----------------
     QuerySpec(
@@ -133,7 +148,8 @@ object DedupQueries {
           while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
           fp
         }
-        val f = d.withColumn("fp", simhash(col("toks"))).select(col("doc_id"), col("fp"))
+        val f = OracleMat(s, "q21_fp")(
+          d.withColumn("fp", simhash(col("toks"))).select(col("doc_id"), col("fp")))
         // pigeonhole: hamming<=3 over 4 chunks of 16 bits ⇒ at least one
         // chunk identical; join per chunk, verify exact hamming.
         val chunks = f.select(col("doc_id"), col("fp"),
@@ -153,7 +169,15 @@ object DedupQueries {
           .dropDuplicates("doc_a", "doc_b")
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      // TRUE independent oracle: DuckDB brute-forces hamming distance over
+      // ALL fingerprint pairs — the pigeonhole chunk join must find exactly
+      // the brute-force result (pigeonhole recall is 1.0 by construction
+      // for hamming<=3 over 4 chunks)
+      Some(s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       bit_count(xor(a.fp, b.fp)) AS hamming
+              |FROM ${OracleMat.src("q21_fp")} a, ${OracleMat.src("q21_fp")} b
+              |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // --- exact n-gram Jaccard on a deterministic subset (SQL oracle) ------
     QuerySpec(

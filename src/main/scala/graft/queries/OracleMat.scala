@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kernel. Pattern: the query materializes the per-row kernel output to a
   * stable parquet path during execution, returns the downstream computation
   * over the re-read rows, and the oracle SQL performs the same computation
-  * over `read_parquet('<path>/*.parquet')`. Where possible the SQL also
+  * over a read_parquet() of that path. Where possible the SQL also
   * RECOMPUTES kernel columns from raw materialized inputs (word counts,
   * length bands, jaccard) so the cross-engine check is genuinely
   * independent, not a parquet round-trip.

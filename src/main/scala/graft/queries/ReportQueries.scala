@@ -58,32 +58,48 @@ object ReportQueries {
              |ORDER BY event_type, day""".stripMargin)),
 
     // generate_meta_tags (server.ts:5097-5169): og/twitter/basic tag
-    // strings templated from extracted metadata + keyword core
+    // strings templated from extracted metadata + keyword core. Raw kernel
+    // fields are materialized; the TAG TEMPLATING, the length bands and the
+    // seoScore formula (:5164-5169) are computed as Spark SQL expressions
+    // and independently recomputed by DuckDB.
     QuerySpec("q66_meta_tags", (s, _) => {
       import s.implicits._
-      okPages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = okPages(s).as[(String, String)].map { case (u, h) =>
         val doc = graft.core.Html.parse(h)
         val m = PageTools.pageMetadata(doc)
         val kws = PageTools.extractKeywords(
           graft.core.Extract.extract(h, u, 0L,
             graft.core.Extract.Options(format = "text")).content,
           maxKeywords = 10, includePhrases = false)
-        val titleOk = m.title.length >= 30 && m.title.length <= 60
-        val descOk = m.description.length >= 120 && m.description.length <= 160
-        val seoScore = (if (titleOk) 25 else 10) + (if (descOk) 25 else 10) +
-          (if (kws.nonEmpty) 25 else 0) + (if (m.canonical.nonEmpty) 25 else 0)
-        (u,
-          s"""<meta property="og:title" content="${m.title}"/>""",
-          s"""<meta name="twitter:card" content="summary"/>""",
-          s"""<meta name="keywords" content="${kws.map(_.keyword).mkString(", ")}"/>""",
-          titleOk, descOk, seoScore)
-      }.toDF("url", "og_tag", "twitter_tag", "keywords_tag",
-          "title_len_ok", "desc_len_ok", "seo_score")
+        (u, m.title, m.description, m.canonical, kws.map(_.keyword).mkString(", "))
+      }.toDF("url", "title", "description", "canonical", "keywords_csv")
+      OracleMat(s, "q66")(kernel)
+        .select(col("url"),
+          concat(lit("<meta property=\"og:title\" content=\""), col("title"),
+            lit("\"/>")).as("og_tag"),
+          concat(lit("<meta name=\"keywords\" content=\""), col("keywords_csv"),
+            lit("\"/>")).as("keywords_tag"),
+          length(col("title")).between(30, 60).as("title_len_ok"),
+          length(col("description")).between(120, 160).as("desc_len_ok"),
+          (when(length(col("title")).between(30, 60), 25).otherwise(10) +
+            when(length(col("description")).between(120, 160), 25).otherwise(10) +
+            when(col("keywords_csv") =!= "", 25).otherwise(0) +
+            when(col("canonical") =!= "", 25).otherwise(0)).as("seo_score"))
         .orderBy("url")
-    }, None),
+    }, Some(s"""SELECT url,
+               |  '<meta property="og:title" content="' || title || '"/>' AS og_tag,
+               |  '<meta name="keywords" content="' || keywords_csv || '"/>' AS keywords_tag,
+               |  length(title) BETWEEN 30 AND 60 AS title_len_ok,
+               |  length(description) BETWEEN 120 AND 160 AS desc_len_ok,
+               |  (CASE WHEN length(title) BETWEEN 30 AND 60 THEN 25 ELSE 10 END +
+               |   CASE WHEN length(description) BETWEEN 120 AND 160 THEN 25 ELSE 10 END +
+               |   CASE WHEN keywords_csv <> '' THEN 25 ELSE 0 END +
+               |   CASE WHEN canonical <> '' THEN 25 ELSE 0 END) AS seo_score
+               |FROM ${OracleMat.src("q66")} ORDER BY url""".stripMargin)),
 
     // analyze_competitors (server.ts:4525-4567): per-URL stats struct +
-    // cross-competitor averages
+    // cross-competitor averages, recomputed by the oracle (averages of
+    // integer stats are exact in both engines; surfaced as x10 ints)
     QuerySpec("q67_competitors", (s, _) => {
       import s.implicits._
       val stats = okPages(s).as[(String, String)].map { case (u, h) =>
@@ -96,35 +112,56 @@ object ReportQueries {
           PageTools.extractImages(doc, u).size,
           PageTools.extractLinks(doc, u).size)
       }.toDF("host", "url", "word_count", "n_headings", "n_images", "n_links")
-      stats.groupBy(col("host"))
+      OracleMat(s, "q67")(stats)
+        .groupBy(col("host"))
         .agg(count(lit(1)).as("n_pages"),
-          round(avg(col("word_count")), 1).cast("double").as("avg_words"),
-          round(avg(col("n_headings")), 1).as("avg_headings"),
-          round(avg(col("n_links")), 1).as("avg_links"))
+          round(avg(col("word_count")) * 10).cast("long").as("avg_words_x10"),
+          round(avg(col("n_headings")) * 10).cast("long").as("avg_headings_x10"),
+          round(avg(col("n_links")) * 10).cast("long").as("avg_links_x10"))
         .orderBy(col("host"))
-    }, None),
+    }, Some(s"""SELECT host, count(*) AS n_pages,
+               |       CAST(round(avg(word_count) * 10) AS BIGINT) AS avg_words_x10,
+               |       CAST(round(avg(n_headings) * 10) AS BIGINT) AS avg_headings_x10,
+               |       CAST(round(avg(n_links) * 10) AS BIGINT) AS avg_links_x10
+               |FROM ${OracleMat.src("q67")}
+               |GROUP BY host ORDER BY host""".stripMargin)),
 
     // generate_reports (server.ts:6692-6910): composed seo/perf/security
-    // sections per page, rendered as a markdown report string
+    // sections per page rendered as a markdown report string — the
+    // TEMPLATING ITSELF is the distributed computation, so both engines
+    // rebuild report_md from the materialized audit scores
     QuerySpec("q68_reports", (s, _) => {
       import s.implicits._
-      okPages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = okPages(s).as[(String, String)].map { case (u, h) =>
         val doc = graft.core.Html.parse(h)
         val v = PageTools.validateHtml(doc)
         val t = PageTools.detectTracking(h, doc)
         val vs = PageTools.scanVulnerabilities(h, doc, u)
-        val md =
-          s"""# Report for $u
-             |## SEO
-             |- title: ${v.hasTitle}, h1s: ${v.h1Count}
-             |## Security
-             |- score: ${vs.score}, inline scripts: ${vs.inlineScripts}
-             |## Privacy
-             |- score: ${t.privacyScore}""".stripMargin
-        (u, v.score, vs.score, t.privacyScore, md)
-      }.toDF("url", "html_score", "security_score", "privacy_score", "report_md")
+        (u, v.score, v.hasTitle, v.h1Count, vs.score, vs.inlineScripts,
+          t.privacyScore)
+      }.toDF("url", "html_score", "has_title", "h1_count", "security_score",
+        "inline_scripts", "privacy_score")
+      OracleMat(s, "q68")(kernel)
+        .select(col("url"), col("html_score"), col("security_score"),
+          col("privacy_score"),
+          concat(
+            lit("# Report for "), col("url"),
+            lit("\n## SEO\n- title: "), col("has_title").cast("string"),
+            lit(", h1s: "), col("h1_count").cast("string"),
+            lit("\n## Security\n- score: "), col("security_score").cast("string"),
+            lit(", inline scripts: "), col("inline_scripts").cast("string"),
+            lit("\n## Privacy\n- score: "), col("privacy_score").cast("string"))
+            .as("report_md"))
         .orderBy("url")
-    }, None),
+    }, Some(s"""SELECT url, html_score, security_score, privacy_score,
+               |  '# Report for ' || url ||
+               |  chr(10) || '## SEO' || chr(10) || '- title: ' || CAST(has_title AS VARCHAR) ||
+               |  ', h1s: ' || CAST(h1_count AS VARCHAR) ||
+               |  chr(10) || '## Security' || chr(10) || '- score: ' || CAST(security_score AS VARCHAR) ||
+               |  ', inline scripts: ' || CAST(inline_scripts AS VARCHAR) ||
+               |  chr(10) || '## Privacy' || chr(10) || '- score: ' || CAST(privacy_score AS VARCHAR)
+               |  AS report_md
+               |FROM ${OracleMat.src("q68")} ORDER BY url""".stripMargin)),
 
     // embedding-cosine near-dup at a realistic 0.999 threshold. The corpus
     // has no natural near-dups (max pairwise cosine ~0.44), so the query
@@ -193,16 +230,23 @@ object ReportQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // resources/list catalog surface (server.ts:1407-1419): the pages
-    // table as a listable catalog with cache:// URIs + re-extract on read
+    // table as a listable catalog with cache:// URIs + re-extract on read;
+    // uri scheme/size stats recomputed by the oracle
     QuerySpec("q69_catalog", (s, _) => {
       import s.implicits._
-      okPages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = okPages(s).as[(String, String)].map { case (u, h) =>
         val e = graft.core.Extract.extract(h, u, 0L,
           graft.core.Extract.Options(format = "text"))
         ("cache://" + java.net.URLEncoder.encode(u, "UTF-8"),
           e.title, e.wordCount, h.getBytes("UTF-8").length)
       }.toDF("resource_uri", "title", "word_count", "size_bytes")
+      OracleMat(s, "q69")(kernel)
+        .withColumn("uri_ok", col("resource_uri").startsWith("cache://"))
+        .withColumn("kb_bucket", (col("size_bytes") / 1024).cast("long"))
         .orderBy("resource_uri")
-    }, None)
+    }, Some(s"""SELECT resource_uri, title, word_count, size_bytes,
+               |       starts_with(resource_uri, 'cache://') AS uri_ok,
+               |       CAST(size_bytes // 1024 AS BIGINT) AS kb_bucket
+               |FROM ${OracleMat.src("q69")} ORDER BY resource_uri""".stripMargin))
   )
 }

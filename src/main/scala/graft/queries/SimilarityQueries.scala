@@ -138,7 +138,9 @@ object SimilarityQueries {
         val cand = q.join(c, Seq("band_id", "bucket"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .dropDuplicates("query_id", "neighbor_id")
-        val scored = cand.withColumn("sim", cosineUdf(col("qv"), col("cv")))
+        val scored = OracleMat(s, "q25_scored")(
+          cand.withColumn("sim", cosineUdf(col("qv"), col("cv")))
+            .select(col("query_id"), col("neighbor_id"), col("sim")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id").asc)
         scored.withColumn("rank", row_number().over(w))
@@ -146,7 +148,15 @@ object SimilarityQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      // oracle re-runs the top-k window over the materialized candidate
+      // scores (identical doubles → identical ordering); signature recall
+      // vs brute force is AnnRecallSpec's gate
+      Some(s"""SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+              |  FROM ${OracleMat.src("q25_scored")})
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // --- IVF ANN: coarse quantization to hash-seeded centroids, probe the
     //     nearest nprobe cells, exact rerank within them — the classic
@@ -213,14 +223,24 @@ object SimilarityQueries {
         val cand = queries.join(data, Seq("cell"))
           .filter(col("query_id") =!= col("neighbor_id"))
           .dropDuplicates("query_id", "neighbor_id")
+        val scored = OracleMat(s, "q76_scored")(
+          cand.withColumn("sim", cosineUdf(col("qv"), col("cv")))
+            .select(col("query_id"), col("neighbor_id"), col("sim")))
         val w = Window.partitionBy(col("query_id"))
-          .orderBy(cosineUdf(col("qv"), col("cv")).desc, col("neighbor_id").asc)
-        cand.withColumn("rank", row_number().over(w))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      // oracle re-runs the top-k window over the materialized probed-cell
+      // candidate scores; IVF recall vs brute force is AnnRecallSpec's gate
+      Some(s"""SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+              |  FROM ${OracleMat.src("q76_scored")})
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // --- per-label centroid stats (embedding clustering summary) ----------
     QuerySpec(

@@ -22,27 +22,76 @@ object StreamQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     // windowed event-time aggregation with watermark (monitor_uptime's
-    // hourly stats, server.ts:6058-6075, as a continuous query)
+    // hourly stats, server.ts:6058-6075, as a continuous query). STRONG
+    // oracle: the streaming complete-mode result over the static parquet
+    // must equal DuckDB's batch GROUP BY over epoch-aligned 6 h buckets.
     QuerySpec("q61_stream_windows", (s, dir) => {
       val q = s"win${counter.incrementAndGet()}"
       Streams.windowedStats(s, stage(dir, "events"), q)
-    }, None),
+    }, Some("""SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+              |                '%Y-%m-%d %H:%M:%S') AS win_start,
+              |       event_type, count(*) AS n,
+              |       CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+              |       CAST(round(max(value) * 100) AS BIGINT) AS max_cents
+              |FROM events
+              |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
-    // stateful sessionization via flatMapGroupsWithState
+    // stateful sessionization via flatMapGroupsWithState. STRONG oracle:
+    // DuckDB rebuilds the same gap-based sessions with the classic
+    // lag+cumulative-sum islands pattern; the engine emits only CLOSED
+    // sessions (the last session per user stays in state), so the oracle
+    // drops each user's final island. All output columns are time-zone
+    // invariant (counts and differences of epoch millis).
     QuerySpec("q62_stream_sessions", (s, dir) => {
       val q = s"sess${counter.incrementAndGet()}"
       Streams.sessionize(s, stage(dir, "events"), q)
-    }, None),
+    }, Some("""WITH e AS (
+              |  SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+              |marked AS (
+              |  SELECT user_id, t,
+              |         CASE WHEN t - lag(t) OVER w > 1800000
+              |              OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+              |sess AS (
+              |  SELECT user_id, t,
+              |         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM marked),
+              |agg AS (
+              |  SELECT user_id, sid, min(t) AS start_ms, max(t) AS end_ms,
+              |         count(*) AS n_events
+              |  FROM sess GROUP BY 1, 2),
+              |closed AS (
+              |  SELECT * FROM agg a
+              |  WHERE sid < (SELECT max(sid) FROM agg b WHERE b.user_id = a.user_id))
+              |SELECT user_id, count(*) AS n_sessions,
+              |       CAST(sum(n_events) AS BIGINT) AS events_in_closed_sessions,
+              |       max(end_ms - start_ms) AS longest_ms
+              |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
-    // multimodal: binary media column → batched stub-decode + features
+    // multimodal: binary media column → batched stub-decode + features;
+    // per-format rollup recomputed by the oracle from materialized rows
     QuerySpec("q63_multimodal", (s, _) => {
       val media = Multimodal.mediaTable(s, 2000)
-      Multimodal.decodeAndFeaturize(s, media)
+      val kernel = Multimodal.decodeAndFeaturize(s, media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("channels"), col("size_bytes"), col("n_sampled_frames"),
-          round(element_at(col("channel_means"), 1), 2).as("mean_c0"))
-        .orderBy(col("media_id"))
-    }, None),
+          round(element_at(col("channel_means"), 1) * 100).cast("long").as("mean_c0_x100"))
+      OracleMat(s, "q63")(kernel)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("size_bytes")).cast("long").as("total_bytes"),
+          sum(col("n_sampled_frames")).cast("long").as("total_frames"),
+          sum(col("mean_c0_x100")).cast("long").as("sum_mean_c0_x100"),
+          max(col("width") * col("height")).as("max_pixels"))
+        .orderBy(col("format"))
+    }, Some(s"""SELECT format, count(*) AS n,
+               |       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+               |       CAST(sum(n_sampled_frames) AS BIGINT) AS total_frames,
+               |       CAST(sum(mean_c0_x100) AS BIGINT) AS sum_mean_c0_x100,
+               |       max(width * height) AS max_pixels
+               |FROM ${OracleMat.src("q63")}
+               |GROUP BY format ORDER BY format""".stripMargin)),
 
     // search_content (server.ts:1852-1936): literal scan with ±50-char
     // context, first match per document — SQL-oracled
@@ -68,16 +117,23 @@ object StreamQueries {
               |  FROM documents WHERE strpos(text, 'spark') > 0)
               |ORDER BY doc_id""".stripMargin)),
 
-    // summarize_content (extract.ts:294-340) over documents
+    // summarize_content (extract.ts:294-340) over documents; length/format
+    // derivations recomputed by the oracle from the materialized output
     QuerySpec("q64_summarize", (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      val kernel = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           (id, graft.core.Extract.summarize(text, maxLength = 120),
             graft.core.Extract.summarize(text, maxLength = 120, bullets = true))
         }.toDF("doc_id", "summary", "bullets")
+      OracleMat(s, "q64")(kernel)
+        .withColumn("summary_len", length(col("summary")))
+        .withColumn("is_bulleted", col("bullets").startsWith("• "))
         .orderBy("doc_id")
-    }, None)
+    }, Some(s"""SELECT doc_id, summary, bullets,
+               |       length(summary) AS summary_len,
+               |       starts_with(bullets, '• ') AS is_bulleted
+               |FROM ${OracleMat.src("q64")} ORDER BY doc_id""".stripMargin))
   )
 }

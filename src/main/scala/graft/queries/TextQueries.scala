@@ -305,10 +305,17 @@ object TextQueries {
           }
         }
         val d = t(s, dir, "documents")
-        d.select(col("doc_id"), winnow(col("text")).as("rolling_fp"))
+        val fps = OracleMat(s, "q75_fp")(
+          d.select(col("doc_id"), winnow(col("text")).as("rolling_fp")))
+        // dup-group size per fingerprint — the downstream identity use of a
+        // winnowing fp; recomputed by the oracle over the materialized fps
+        fps.withColumn("n_sharing", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("rolling_fp"))))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""SELECT doc_id, rolling_fp,
+              |       count(*) OVER (PARTITION BY rolling_fp) AS n_sharing
+              |FROM ${OracleMat.src("q75_fp")} ORDER BY doc_id""".stripMargin)),
 
     // --- document fingerprint: rolling/content hash per doc ---------------
     QuerySpec(

@@ -7,9 +7,15 @@ import graft.tools.PageTools
 
 /** Distributed forms of the per-page tool kernels (SURVEY.md §2b/2c/2d) —
   * each tool runs as a UDF/flatMap over the synthetic pages and aggregates
-  * with groupBy/explode. Queries-only (no DuckDB oracle): the scalar
-  * semantics are pinned by ToolsSpec unit tests; these entries prove the
-  * distributed plumbing (rows>0 gate) and give the bench surface.
+  * with groupBy/explode.
+  *
+  * Oracle strategy: the scalar kernels are pinned by ToolsSpec + the
+  * reference-true goldens; the DRIVER-verifiable part is everything
+  * downstream — so each query materializes its kernel rows
+  * ([[OracleMat]]) and DuckDB independently recomputes the aggregation /
+  * join / derived expressions. Where the whole operator is ANSI-SQL
+  * (q47 entities, q49 classify, q53 stand-ins) the oracle recomputes the
+  * KERNEL itself from the raw documents table — a full cross-engine check.
   */
 object ToolQueries {
 
@@ -28,84 +34,140 @@ object ToolQueries {
     }.toDF("url", "html")
   }
 
+  /** classify's (category, keyword) pairs as a DuckDB VALUES list — the
+    * oracle rebuilds the whole keyword-matching kernel in SQL. */
+  private val classifyValues: String =
+    PageTools.CategoryKeywords.toSeq.sortBy(_._1)
+      .flatMap { case (c, ks) => ks.map(k => s"('$c','$k')") }
+      .mkString(", ")
+
   val specs: Seq[QuerySpec] = Seq(
-    // get_page_metadata: meta fields per page
+    // get_page_metadata: meta fields per page; the oracle recomputes the
+    // derived length/flag columns from the materialized raw fields
     QuerySpec("q40_page_metadata", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].map { case (u, h) =>
         val m = PageTools.pageMetadata(graft.core.Html.parse(h))
         (u, m.title, m.description, m.keywords, m.canonical, m.language)
       }.toDF("url", "title", "description", "keywords", "canonical", "language")
+      OracleMat(s, "q40")(kernel)
+        .withColumn("title_len", length(col("title")))
+        .withColumn("has_canonical", col("canonical") =!= "")
         .orderBy("url")
-    }, None),
+    }, Some(s"""SELECT url, title, description, keywords, canonical, language,
+               |       length(title) AS title_len,
+               |       canonical <> '' AS has_canonical
+               |FROM ${OracleMat.src("q40")} ORDER BY url""".stripMargin)),
 
     // extract_links: origin-resolution variant, internal/external split
     QuerySpec("q41_links", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         PageTools.extractLinks(graft.core.Html.parse(h), u)
           .map(l => (u, l.href, l.text, l.internal))
       }.toDF("src", "href", "text", "internal")
+      OracleMat(s, "q41")(kernel)
         .groupBy(col("internal")).agg(count(lit(1)).as("n"),
           countDistinct(col("href")).as("n_distinct"))
         .orderBy(col("internal"))
-    }, None),
+    }, Some(s"""SELECT internal, count(*) AS n,
+               |       count(DISTINCT href) AS n_distinct
+               |FROM ${OracleMat.src("q41")}
+               |GROUP BY internal ORDER BY internal""".stripMargin)),
 
-    // extract_images
+    // extract_images; oracle recomputes the file-extension column
     QuerySpec("q42_images", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         PageTools.extractImages(graft.core.Html.parse(h), u)
           .map(i => (u, i.src, i.alt, i.width, i.height))
-      }.toDF("url", "src", "alt", "width", "height").orderBy("url", "src")
-    }, None),
+      }.toDF("url", "src", "alt", "width", "height")
+      OracleMat(s, "q42")(kernel)
+        .withColumn("ext", regexp_extract(col("src"), "\\.([a-z0-9]+)$", 1))
+        .orderBy("url", "src")
+    }, Some(s"""SELECT url, src, alt, width, height,
+               |       regexp_extract(src, '\\.([a-z0-9]+)$$', 1) AS ext
+               |FROM ${OracleMat.src("q42")} ORDER BY url, src""".stripMargin)),
 
-    // extract_forms: exploded field rows
+    // extract_forms: exploded field rows; label/options flags recomputed
     QuerySpec("q43_forms", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         PageTools.extractForms(graft.core.Html.parse(h)).flatMap(f =>
           f.fields.map(fl => (u, f.action, f.method, fl.ftype, fl.name, fl.label,
             fl.options.mkString("|"))))
       }.toDF("url", "action", "method", "ftype", "name", "label", "options")
+      OracleMat(s, "q43")(kernel)
+        .withColumn("has_label", col("label") =!= "")
+        .withColumn("n_options",
+          when(col("options") === "", 0).otherwise(size(split(col("options"), "\\|"))))
         .orderBy("url", "name")
-    }, None),
+    }, Some(s"""SELECT url, action, method, ftype, name, label, options,
+               |       label <> '' AS has_label,
+               |       CASE WHEN options = '' THEN 0
+               |            ELSE len(str_split(options, '|')) END AS n_options
+               |FROM ${OracleMat.src("q43")} ORDER BY url, name""".stripMargin)),
 
-    // extract_tables incl. CSV/markdown renderers
+    // extract_tables incl. CSV/markdown renderers; renderer shape checks
+    // (line counts) recomputed by the oracle
     QuerySpec("q44_tables", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         PageTools.extractTables(graft.core.Html.parse(h)).map(t =>
           (u, t.index, t.headers.mkString("|"), t.rows.length, t.columnCount,
             PageTools.tableCsv(t), PageTools.tableMarkdown(t)))
       }.toDF("url", "idx", "headers", "n_rows", "n_cols", "csv", "markdown")
+      OracleMat(s, "q44")(kernel)
+        .withColumn("csv_lines", size(split(col("csv"), "\n", -1)))
+        .withColumn("md_lines", size(split(col("markdown"), "\n", -1)))
         .orderBy("url", "idx")
-    }, None),
+    }, Some(s"""SELECT url, idx, headers, n_rows, n_cols, csv, markdown,
+               |       len(str_split(csv, chr(10))) AS csv_lines,
+               |       len(str_split(markdown, chr(10))) AS md_lines
+               |FROM ${OracleMat.src("q44")} ORDER BY url, idx""".stripMargin)),
 
     // extract_headings + per-level structure counts
     QuerySpec("q45_headings", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         PageTools.extractHeadings(graft.core.Html.parse(h))
           .map(hd => (u, hd.level, hd.index, hd.text))
       }.toDF("url", "level", "idx", "text")
-        .groupBy(col("level")).agg(count(lit(1)).as("n"))
+      OracleMat(s, "q45")(kernel)
+        .groupBy(col("level")).agg(count(lit(1)).as("n"),
+          max(length(col("text"))).as("max_text_len"))
         .orderBy(col("level"))
-    }, None),
+    }, Some(s"""SELECT level, count(*) AS n, max(length(text)) AS max_text_len
+               |FROM ${OracleMat.src("q45")}
+               |GROUP BY level ORDER BY level""".stripMargin)),
 
-    // extract_contact_info
+    // extract_contact_info; per-type counts recomputed from the pipe-joined
+    // lists by the oracle
     QuerySpec("q46_contacts", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].flatMap { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].flatMap { case (u, h) =>
         val c = PageTools.extractContacts(graft.core.Html.parse(h))
         if (c.emails.nonEmpty || c.phones.nonEmpty || c.addresses.nonEmpty)
           Some((u, c.emails.mkString("|"), c.phones.mkString("|"),
             c.addresses.mkString("|")))
         else None
-      }.toDF("url", "emails", "phones", "addresses").orderBy("url")
-    }, None),
+      }.toDF("url", "emails", "phones", "addresses")
+      OracleMat(s, "q46")(kernel)
+        .withColumn("n_emails",
+          when(col("emails") === "", 0).otherwise(size(split(col("emails"), "\\|"))))
+        .withColumn("n_phones",
+          when(col("phones") === "", 0).otherwise(size(split(col("phones"), "\\|"))))
+        .orderBy("url")
+    }, Some(s"""SELECT url, emails, phones, addresses,
+               |       CASE WHEN emails = '' THEN 0
+               |            ELSE len(str_split(emails, '|')) END AS n_emails,
+               |       CASE WHEN phones = '' THEN 0
+               |            ELSE len(str_split(phones, '|')) END AS n_phones
+               |FROM ${OracleMat.src("q46")} ORDER BY url""".stripMargin)),
 
-    // extract_entities over documents.text (regex families)
+    // extract_entities over documents.text — FULL cross-engine oracle: the
+    // DuckDB side re-runs the regex families (RE2 ≡ java.util.regex for
+    // these patterns) over the raw documents table
     QuerySpec("q47_entities", (s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -116,21 +178,38 @@ object ToolQueries {
             e.percentages.length, e.hashtags.length)
         }.toDF("doc_id", "n_emails", "n_urls", "n_dates", "n_pct", "n_tags")
         .orderBy("doc_id")
-    }, None),
+    }, Some("""SELECT doc_id,
+              |  len(list_distinct(regexp_extract_all(text,
+              |    '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b'))) AS n_emails,
+              |  len(list_distinct(regexp_extract_all(text,
+              |    'https?://[^\s]+'))) AS n_urls,
+              |  len(list_distinct(regexp_extract_all(text,
+              |    '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s+\d{4}\b'))) AS n_dates,
+              |  len(list_distinct(regexp_extract_all(text,
+              |    '\d+(?:\.\d+)?%'))) AS n_pct,
+              |  len(list_distinct(regexp_extract_all(text, '#\w+'))) AS n_tags
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // extract_keywords (with the reference's markdown-strip quirks)
+    // extract_keywords (with the reference's markdown-strip quirks);
+    // kernel rows materialized, derived length column recomputed
     QuerySpec("q48_keywords", (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      val kernel = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
           PageTools.extractKeywords(text, maxKeywords = 5)
             .map(k => (id, k.keyword, k.frequency, k.isPhrase))
         }.toDF("doc_id", "keyword", "frequency", "is_phrase")
+      OracleMat(s, "q48")(kernel)
+        .withColumn("kw_len", length(col("keyword")))
         .orderBy("doc_id", "keyword")
-    }, None),
+    }, Some(s"""SELECT doc_id, keyword, frequency, is_phrase,
+               |       length(keyword) AS kw_len
+               |FROM ${OracleMat.src("q48")} ORDER BY doc_id, keyword""".stripMargin)),
 
-    // classify_content (10-category keyword matching)
+    // classify_content — FULL cross-engine oracle: DuckDB re-runs the
+    // whole-word keyword matching from the (category, keyword) VALUES list
+    // over the raw documents table (server.ts:4433-4461 semantics)
     QuerySpec("q49_classify", (s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -139,14 +218,26 @@ object ToolQueries {
           PageTools.classify(text).map(c => (id, c.category, c.matches))
         }.toDF("doc_id", "category", "matches")
         .groupBy(col("category")).agg(count(lit(1)).as("n_docs"),
-          sum(col("matches")).as("total_matches"))
+          sum(col("matches")).cast("long").as("total_matches"))
         .orderBy(col("category"))
-    }, None),
+    }, Some(s"""WITH kw(category, k) AS (VALUES $classifyValues),
+               |per AS (
+               |  SELECT d.doc_id, kw.category,
+               |         sum(len(regexp_extract_all(lower(d.text),
+               |             '\\b' || kw.k || '\\b'))) AS matches
+               |  FROM documents d CROSS JOIN kw
+               |  GROUP BY 1, 2)
+               |SELECT category, count(*) AS n_docs,
+               |       CAST(sum(matches) AS BIGINT) AS total_matches
+               |FROM per WHERE matches > 0
+               |GROUP BY category ORDER BY category""".stripMargin)),
 
-    // validate_html + detect_tracking + scan_vulnerabilities (DOM audits)
+    // validate_html + detect_tracking + scan_vulnerabilities (DOM audits);
+    // benchmark_performance grade bands (server.ts:6521-6527) recomputed
+    // from the materialized scores by the oracle
     QuerySpec("q50_html_audit", (s, _) => {
       import s.implicits._
-      pages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].map { case (u, h) =>
         val doc = graft.core.Html.parse(h)
         val v = PageTools.validateHtml(doc)
         val t = PageTools.detectTracking(h, doc)
@@ -155,22 +246,37 @@ object ToolQueries {
           t.privacyScore, vs.inlineScripts, vs.score)
       }.toDF("url", "has_title", "h1_count", "img_no_alt", "html_score",
           "privacy_score", "inline_scripts", "vuln_score")
+      OracleMat(s, "q50")(kernel)
+        .withColumn("grade",
+          when(col("html_score") >= 90, "A").when(col("html_score") >= 80, "B")
+            .when(col("html_score") >= 70, "C").when(col("html_score") >= 60, "D")
+            .otherwise("F"))
         .orderBy("url")
-    }, None),
+    }, Some(s"""SELECT url, has_title, h1_count, img_no_alt, html_score,
+               |       privacy_score, inline_scripts, vuln_score,
+               |       CASE WHEN html_score >= 90 THEN 'A'
+               |            WHEN html_score >= 80 THEN 'B'
+               |            WHEN html_score >= 70 THEN 'C'
+               |            WHEN html_score >= 60 THEN 'D'
+               |            ELSE 'F' END AS grade
+               |FROM ${OracleMat.src("q50")} ORDER BY url""".stripMargin)),
 
-    // compare_content (:2307-2395): pairwise page compare on url pairs
+    // compare_content (:2307-2395): pairwise page compare. The oracle
+    // recomputes the PAIRING JOIN and the word-set Jaccard from the
+    // materialized per-page text — the whole distributed part cross-checked
     QuerySpec("q51_compare", (s, _) => {
       import s.implicits._
       val p = pages(s).as[(String, String)]
         .map { case (u, h) =>
           val e = graft.core.Extract.extract(h, u, 0L,
             graft.core.Extract.Options(format = "text"))
-          (u, e.title, e.content, e.wordCount)
-        }.toDF("url", "title", "text", "word_count")
+          (u, e.title, e.content)
+        }.toDF("url", "title", "text")
+        .withColumn("grp", substring(col("url"), 12, 1))
+      val keyed = OracleMat(s, "q51")(p)
       // pair pages within the same host group: the group key is the JOIN key
       // (hash/sort-merge equi-join), `<` is a post-join filter — a theta-only
       // join would plan as BroadcastNestedLoop (cartesian at scale)
-      val keyed = p.withColumn("grp", substring(col("url"), 12, 1))
       val a = keyed.select(col("grp"), col("url").as("url_a"),
         col("title").as("title_a"), col("text").as("text_a"))
       val b = keyed.select(col("grp"), col("url").as("url_b"),
@@ -184,20 +290,40 @@ object ToolQueries {
           (col("title_a") === col("title_b")).as("title_match"),
           col("jaccard_x10000"))
         .orderBy(col("url_a"), col("url_b"))
-    }, None),
+    }, Some(s"""WITH p AS (
+               |  SELECT grp, url, title,
+               |         list_distinct(list_filter(
+               |           regexp_split_to_array(lower(text), '\\s+'),
+               |           x -> x <> '')) AS ws
+               |  FROM ${OracleMat.src("q51")}),
+               |pairs AS (
+               |  SELECT a.url AS url_a, b.url AS url_b,
+               |         a.title = b.title AS title_match,
+               |         len(list_intersect(a.ws, b.ws)) AS li,
+               |         len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS lu
+               |  FROM p a JOIN p b ON a.grp = b.grp AND a.url < b.url)
+               |SELECT url_a, url_b, title_match,
+               |       CAST(round(CASE WHEN lu = 0 THEN 1.0
+               |                       ELSE CAST(li AS DOUBLE) / lu END * 10000)
+               |            AS BIGINT) AS jaccard_x10000
+               |FROM pairs ORDER BY url_a, url_b""".stripMargin)),
 
-    // monitor_changes (:3268-3347): snapshot-over-snapshot md5 + similarity
+    // monitor_changes (:3268-3347): snapshot-over-snapshot md5 + similarity.
+    // The "previous" snapshot derivation (md5-hex-digit rule), both md5s,
+    // the changed filter AND the Jaccard are all recomputed by the oracle
     QuerySpec("q52_monitor_changes", (s, _) => {
       import s.implicits._
-      val curr = pages(s).as[(String, String)].map { case (u, h) =>
+      val kernel = pages(s).as[(String, String)].map { case (u, h) =>
         val t = graft.core.Extract.extract(h, u, 0L,
           graft.core.Extract.Options(format = "text")).content
         (u, t)
       }.toDF("url", "text")
-      // previous snapshot simulated as a deterministic subset with edits
+      val curr = OracleMat(s, "q52")(kernel)
+      // previous snapshot simulated as a deterministic subset with edits;
+      // the selector must be SQL-portable, so: first hex digit of md5(url)
+      val edited = expr("(instr('0123456789abcdef', substr(md5(url), 1, 1)) % 5) = 1")
       val prev = curr.withColumn("text",
-        when(xxhash64(col("url")) % 5 === 0,
-          concat(col("text"), lit(" edited section"))).otherwise(col("text")))
+        when(edited, concat(col("text"), lit(" edited section"))).otherwise(col("text")))
       val sim = udf((x: String, y: String) =>
         math.round(PageTools.textSimilarity(x, y) * 10000))
       curr.as("c").join(prev.as("p"), "url")
@@ -208,10 +334,28 @@ object ToolQueries {
         .withColumn("changed", col("curr_md5") =!= col("prev_md5"))
         .filter(col("changed"))
         .orderBy(col("url"))
-    }, None),
+    }, Some(s"""WITH curr AS (SELECT url, text FROM ${OracleMat.src("q52")}),
+               |prev AS (
+               |  SELECT url,
+               |         CASE WHEN (strpos('0123456789abcdef', substr(md5(url), 1, 1)) % 5) = 1
+               |              THEN text || ' edited section' ELSE text END AS text
+               |  FROM curr),
+               |joined AS (
+               |  SELECT c.url, md5(c.text) AS curr_md5, md5(p.text) AS prev_md5,
+               |         list_distinct(list_filter(regexp_split_to_array(lower(c.text), '\\s+'), x -> x <> '')) AS wa,
+               |         list_distinct(list_filter(regexp_split_to_array(lower(p.text), '\\s+'), x -> x <> '')) AS wb
+               |  FROM curr c JOIN prev p USING (url))
+               |SELECT url, curr_md5, prev_md5,
+               |       CAST(round(CASE WHEN len(wa) + len(wb) - len(list_intersect(wa, wb)) = 0 THEN 1.0
+               |                       ELSE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+               |                            / (len(wa) + len(wb) - len(list_intersect(wa, wb))) END
+               |                  * 10000) AS BIGINT) AS similarity_x10000,
+               |       curr_md5 <> prev_md5 AS changed
+               |FROM joined WHERE curr_md5 <> prev_md5
+               |ORDER BY url""".stripMargin)),
 
     // SIM-family deterministic stand-ins (§2d): pdf page estimate +
-    // translate tagging, as a distributed projection
+    // translate tagging — FULL cross-engine oracle from raw documents
     QuerySpec("q53_sim_standins", (s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -222,6 +366,13 @@ object ToolQueries {
             PageTools.translateStandIn(text, "es").take(12))
         }.toDF("doc_id", "word_count", "pdf_pages", "translated_prefix")
         .orderBy("doc_id")
-    }, None)
+    }, Some("""SELECT doc_id,
+              |       len(list_filter(regexp_split_to_array(text, '\s+'),
+              |           x -> x <> '')) AS word_count,
+              |       greatest(1, CAST(ceil(
+              |         len(list_filter(regexp_split_to_array(text, '\s+'),
+              |             x -> x <> '')) / 500.0) AS INT)) AS pdf_pages,
+              |       substr('[es] ' || text, 1, 12) AS translated_prefix
+              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

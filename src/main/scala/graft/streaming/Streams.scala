@@ -45,8 +45,10 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("min_cents"), col("max_cents"))
+      // window start rendered as a string: parquet instant-vs-naive
+      // timestamp types don't survive a cross-engine hash compare
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("min_cents"), col("max_cents"))
       .orderBy(col("win_start"), col("event_type"))
   }
 
