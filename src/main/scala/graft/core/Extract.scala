@@ -114,8 +114,14 @@ object Extract {
     s"**$title**$by\n*Source: [$url]($url)*\n*Fetched: $date*\n"
   }
 
+  // JS /\s/ exactly (extract.ts:207-209 splits on /\s+/): Java's \s is
+  // ASCII-only, JS's additionally matches the Unicode space set below —
+  // &nbsp;-separated words must count as the reference counts them
+  private val JsWhitespace =
+    "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF]+"
+
   def countWords(text: String): Int =
-    text.trim.split("\\s+").count(_.nonEmpty)
+    text.split(JsWhitespace).count(_.nonEmpty)
 
   /** Full pipeline; `clockMs` replaces the reference's `Date.now()` so
     * output is replayable (FIXTURES.md §5). */

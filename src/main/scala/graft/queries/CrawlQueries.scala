@@ -132,6 +132,37 @@ object CrawlQueries {
               |GROUP BY dst ORDER BY in_degree DESC, dst ASC
               |LIMIT 50""".stripMargin)),
 
+    // the markdown renderer (Turndown v7.2.1 port) as a distributed query;
+    // per-page markdown is pinned byte-identical to the REAL reference
+    // extractor by ReferenceGoldenSpec (golden_reference.tsv); the oracle
+    // recomputes structural stats (atx-heading count, line count, length)
+    // from the materialized markdown
+    QuerySpec(
+      "q77_markdown_kernel",
+      (s, _) => {
+        import s.implicits._
+        val urls = (0 until 8).flatMap(h =>
+          (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))
+        val kernel = s.createDataset(urls).repartition(8).flatMap { u =>
+          val fr = SyntheticWeb.fetch(web, u)
+          if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty) {
+            val e = graft.core.Extract.extract(fr.html, u, 0L,
+              graft.core.Extract.Options(format = "markdown"))
+            Some((u, e.content))
+          } else None
+        }.toDF("url", "markdown")
+        OracleMat(s, "q77")(kernel)
+          .withColumn("md_len", length(col("markdown")))
+          .withColumn("n_atx_headings",
+            size(regexp_extract_all(col("markdown"), lit("(?m)^#{1,6} "), lit(0))))
+          .withColumn("n_lines", size(split(col("markdown"), "\n", -1)))
+          .orderBy("url")
+      },
+      Some(s"""SELECT url, markdown, length(markdown) AS md_len,
+              |       len(regexp_extract_all(markdown, '(?m)^#{1,6} ')) AS n_atx_headings,
+              |       len(str_split(markdown, chr(10))) AS n_lines
+              |FROM ${OracleMat.src("q77")} ORDER BY url""".stripMargin)),
+
     // robots gate: per-status outcome counts over a crawl with denials
     QuerySpec(
       "q34_robots_gate",

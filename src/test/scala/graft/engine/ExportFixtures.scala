@@ -23,7 +23,66 @@ object ExportFixtures {
         n += 1
       }
     }
+    // crafted fixtures: Turndown rule coverage beyond what the synthetic
+    // web exercises — escaping table, fence/backtick widening, nested and
+    // ordered lists, blockquotes, links needing ()-escapes, images, hr,
+    // em/strong nesting, pre>code language classes
+    for ((html, i) <- CraftedFixtures.all.zipWithIndex) {
+      val name = s"crafted_$i.html"
+      java.nio.file.Files.writeString(outDir.resolve(name), html)
+      manifest.append(s"$name\thttp://crafted.example/doc$i\n")
+      n += 1
+    }
     java.nio.file.Files.writeString(outDir.resolve("manifest.tsv"), manifest.toString)
     println(s"$n fixtures -> $outDir")
   }
+}
+
+/** Turndown-rule-coverage HTML, shared by the golden generator and (via the
+  * manifest) ReferenceGoldenSpec. Each doc wraps content in <main> so the
+  * reference's main-content gate (>100 chars) selects it deterministically. */
+object CraftedFixtures {
+  private def doc(body: String): String =
+    s"""<!DOCTYPE html><html><head><title>Crafted Fixture Page For Rules</title></head>
+       |<body><main>$body
+       |<p>Padding paragraph so the main content selector's one-hundred-character
+       |threshold is comfortably exceeded by every crafted fixture document.</p>
+       |</main></body></html>""".stripMargin
+
+  val all: Seq[String] = Seq(
+    // headings + paragraphs + hr
+    doc("""<h1>Top</h1><h2>Sub heading</h2><h3>Deeper</h3><p>Plain text para.</p><hr><p>After rule.</p>"""),
+    // unordered + nested + ordered lists
+    doc("""<ul><li>alpha</li><li>beta<ul><li>nested one</li><li>nested two</li></ul></li></ul>
+          |<ol><li>first</li><li>second<ol><li>inner</li></ol></li><li>third</li></ol>""".stripMargin),
+    // em/strong/nesting + code spans incl. backtick widening
+    doc("""<p>Some <em>emphasis</em> and <strong>bold</strong> and <em><strong>both</strong></em>.</p>
+          |<p>Inline <code>code span</code> and <code>span `with` backticks</code>.</p>""".stripMargin),
+    // pre>code with language class + plain pre
+    doc("""<pre><code class="language-scala">val x = 1
+          |def f(y: Int) = y * 2</code></pre>
+          |<pre>plain preformatted
+          |  with indentation</pre>""".stripMargin),
+    // links: plain, with title, with parens in href; images with alt/title
+    doc("""<p><a href="http://a.example/x">link text</a> and
+          |<a href="http://a.example/p(1)">parens link</a> and
+          |<a href="http://a.example/y" title="the title">titled</a>.</p>
+          |<p><img src="http://a.example/i.png" alt="alt text"> and
+          |<img src="http://a.example/j.png" alt="with title" title="img title">.</p>""".stripMargin),
+    // blockquote incl. nested + multiple paragraphs
+    doc("""<blockquote><p>quoted one</p><p>quoted two</p><blockquote><p>deep quote</p></blockquote></blockquote>"""),
+    // markdown-escape table: *, _, #, [, ], `, > at line starts and inline
+    doc("""<p>star * and under_score and #hash and [bracket] and back`tick`.</p>
+          |<p>1. not a list and - not a bullet and + not either.</p>
+          |<p>&gt; not a quote. Literal 2 * 3 = 6 and snake_case_name.</p>""".stripMargin),
+    // whitespace collapse + <br> + &nbsp; and entities
+    doc("""<p>spaced     out
+          |   across lines</p><p>line<br>break</p>
+          |<p>&amp; &lt; &gt; &quot; &#39; &nbsp; entities</p>""".stripMargin),
+    // tables (turndown default: no gfm plugin — emits inner text semantics)
+    doc("""<table><thead><tr><th>H1</th><th>H2</th></tr></thead>
+          |<tbody><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></tbody></table>""".stripMargin),
+    // divs/spans pass-through + empty elements dropped by cleanContent
+    doc("""<div><span>span text</span> in a div.</div><p></p><div></div><p>tail para.</p>""")
+  )
 }
