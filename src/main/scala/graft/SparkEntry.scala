@@ -15,7 +15,8 @@ object SparkEntry {
   private def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TextQueries.specs ++ DedupQueries.specs ++
       SimilarityQueries.specs ++ CrawlQueries.specs ++ ToolQueries.specs ++
-      FetchQueries.specs ++ StreamQueries.specs ++ ReportQueries.specs
+      FetchQueries.specs ++ StreamQueries.specs ++ ReportQueries.specs ++
+      ComplianceQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

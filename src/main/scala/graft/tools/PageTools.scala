@@ -449,6 +449,77 @@ object PageTools {
       math.max(0, 100 - 25 * critical - 15 * highC - 10 * medium - 5 * lowC)) // (:5308-5313)
   }
 
+  // ---------------- check_ssl_certificate stand-in (:5347-5490) ----------
+  /** The reference SIMULATES certificates (random issue/expiry dates,
+    * fixed fingerprints, RSA-2048/SHA256). Deterministic stand-in: the
+    * days-until-expiry is hash-derived from the host (0..364, replacing
+    * `Math.random()*365`), everything else reproduces the reference's
+    * fixed fields and its grade logic (:5472: no issues ⇒ A, any high ⇒ C,
+    * else B — with RSA-2048+SHA256 only expiry issues can fire). */
+  final case class SslCheck(isSecure: Boolean, commonName: String,
+      daysUntilExpiry: Int, expiringSoon: Boolean, keySize: Int,
+      sigAlgorithm: String, sha256Fp: String, grade: String)
+
+  def sslStandIn(url: String): SslCheck = {
+    val isHttps = url.startsWith("https://")
+    val host = UrlNorm.host(url).getOrElse("")
+    if (!isHttps)
+      SslCheck(isSecure = false, host, -1, expiringSoon = false, 0, "", "", "")
+    else {
+      val days = java.lang.Math.floorMod(
+        UrlNorm.xxh64(host.getBytes("UTF-8"), 7L), 365L).toInt
+      val soon = days < 30 // (:5414)
+      SslCheck(isSecure = true, host, days, soon, 2048, "SHA256withRSA",
+        "AA:BB:CC:DD:EE:FF:00:11:22:33:44:55:66:77:88:99:AA:BB:CC:DD:EE:FF:00:11:22:33:44:55:66:77:88:99:AA:BB",
+        if (soon) "B" else "A") // medium severity only ⇒ B (:5472)
+    }
+  }
+
+  // ---------------- check_privacy_policy checklist (:5839-5990) ----------
+  /** Real parts of check_privacy_policy: the privacy/terms/cookie link
+    * harvest (:5865-5893), consent selectors (:5896-5903). The GDPR/CCPA
+    * 5-point arithmetic (:5931-5961) is left to the query layer so the
+    * DuckDB oracle recomputes it from these raw counts. */
+  final case class PrivacyChecklist(nPrivacyLinks: Int, nTermsLinks: Int,
+      nCookieLinks: Int, cookieBanner: Boolean, optOutLinks: Boolean,
+      dataRequestForm: Boolean)
+
+  def privacyChecklist(doc: Doc): PrivacyChecklist = {
+    var nP = 0; var nT = 0; var nC = 0
+    doc.select("a").foreach { a =>
+      a.attr("href").foreach { href =>
+        val text = a.text().toLowerCase.trim
+        if (text.contains("privacy") || text.contains("policy") || href.contains("privacy")) nP += 1
+        if (text.contains("terms") || text.contains("service") || href.contains("terms")) nT += 1
+        if (text.contains("cookie") || href.contains("cookie")) nC += 1
+      }
+    }
+    val banner = doc.select(
+      "[class*=\"cookie\"], [id*=\"cookie\"], [class*=\"consent\"], [id*=\"consent\"]").nonEmpty
+    val optOut = doc.select("a[href*=\"opt-out\"], a[href*=\"unsubscribe\"]").nonEmpty
+    val form = doc.select("form").exists { f =>
+      val t = f.text().toLowerCase
+      t.contains("data") && (t.contains("request") || t.contains("delete"))
+    }
+    PrivacyChecklist(nP, nT, nC, banner, optOut, form)
+  }
+
+  // ---------------- analyze_cookies stand-in (:5492-5655) ----------------
+  /** The reference hard-codes a 4-cookie list whose only page-dependent
+    * inputs are (https?, consent-banner present?, privacy link present?)
+    * (:5517-5566, :5614-5615). This kernel extracts those inputs; the
+    * count/issue/score arithmetic (:5570-5647) is pure and recomputed by
+    * both engines in the query layer. */
+  final case class CookiePageFlags(isHttps: Boolean, hasConsentBanner: Boolean,
+      hasPrivacyPolicyLink: Boolean)
+
+  def cookiePageFlags(doc: Doc, url: String): CookiePageFlags = CookiePageFlags(
+    isHttps = url.startsWith("https://"),
+    hasConsentBanner = doc.select(
+      "[class*=\"cookie\"], [id*=\"cookie\"], [class*=\"consent\"], [id*=\"consent\"]").nonEmpty,
+    hasPrivacyPolicyLink =
+      doc.select("a[href*=\"privacy\"], a[href*=\"policy\"]").nonEmpty) // (:5615)
+
   // ---------------- convert_to_pdf stand-in (:3736-3781) ----------------
   /** Deterministic page-count estimate: ceil(words/500) (:3767). */
   def pdfPageCount(wordCount: Int): Int = math.max(1, math.ceil(wordCount / 500.0).toInt)

@@ -213,4 +213,50 @@ class ToolsSpec extends AnyFunSuite {
     assert(PageTools.pdfPageCount(501) == 2)
     assert(PageTools.translateStandIn("hello", "es") == "[es] hello")
   }
+
+  test("sslStandIn: http insecure; https deterministic fields + grade (server.ts:5347-5490)") {
+    val http = PageTools.sslStandIn("http://a.example/x")
+    assert(!http.isSecure && http.grade == "")
+    val a = PageTools.sslStandIn("https://a.example/x")
+    val b = PageTools.sslStandIn("https://a.example/other")
+    assert(a.isSecure && a.commonName == "a.example")
+    assert(a.daysUntilExpiry == b.daysUntilExpiry, "host-derived, path-independent")
+    assert(a.daysUntilExpiry >= 0 && a.daysUntilExpiry < 365)
+    assert(a.keySize == 2048 && a.sigAlgorithm == "SHA256withRSA")
+    assert(a.grade == (if (a.daysUntilExpiry < 30) "B" else "A")) // (:5472)
+    assert(a == PageTools.sslStandIn("https://a.example/x"), "deterministic")
+  }
+
+  test("privacyChecklist: link harvest + consent selectors (server.ts:5865-5903)") {
+    val html = """<html><body>
+                 |<a href="/privacy">Privacy Policy</a>
+                 |<a href="/tos">Terms of Service</a>
+                 |<a href="/cookies-info">about cookies</a>
+                 |<a href="/opt-out">stop emails</a>
+                 |<div class="cookie-banner">We use cookies</div>
+                 |<form><p>Request data deletion</p><input name="email"/></form>
+                 |</body></html>""".stripMargin
+    val c = PageTools.privacyChecklist(Html.parse(html))
+    // "Privacy Policy" matches both privacy and policy branches → 1 link;
+    // href /cookies-info matches cookie; /opt-out link text has no
+    // privacy words but href drives optOut detection
+    assert(c.nPrivacyLinks == 1)
+    assert(c.nTermsLinks == 1)
+    assert(c.nCookieLinks == 1)
+    assert(c.cookieBanner)
+    assert(c.optOutLinks)
+    assert(c.dataRequestForm)
+    val none = PageTools.privacyChecklist(Html.parse("<html><body><p>hi</p></body></html>"))
+    assert(none == PageTools.PrivacyChecklist(0, 0, 0, false, false, false))
+  }
+
+  test("cookiePageFlags: https/consent/privacy-link inputs (server.ts:5614-5615)") {
+    val html = """<html><body><div id="consent-box">ok</div>
+                 |<a href="/privacy">privacy</a></body></html>""".stripMargin
+    val f = PageTools.cookiePageFlags(Html.parse(html), "https://h.example/")
+    assert(f.isHttps && f.hasConsentBanner && f.hasPrivacyPolicyLink)
+    val g = PageTools.cookiePageFlags(
+      Html.parse("<html><body><p>x</p></body></html>"), "http://h.example/")
+    assert(!g.isHttps && !g.hasConsentBanner && !g.hasPrivacyPolicyLink)
+  }
 }
