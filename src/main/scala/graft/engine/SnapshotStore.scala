@@ -101,14 +101,43 @@ final class SnapshotStore(rootDir: String) {
     spark.read.parquet(paths: _*)
   }
 
-  /** Load the latest committed state (all fetch_log deltas, one scan). */
+  /** Snapshot expiry — the reference's periodic TTL sweep
+    * (src/cache.ts:205-210) at table scale, Iceberg expire_snapshots
+    * style: compacts all pages/fetch_log deltas of rounds ≤ `keepRound`
+    * into r<keepRound> and deletes the older round directories. Reads
+    * after expiry (pagesAsOf ≥ keepRound, loadLatest) see identical data;
+    * time travel to expired rounds is intentionally gone, exactly like
+    * Iceberg after snapshot expiration. */
+  def expireSnapshotsBefore(spark: SparkSession, keepRound: Int): Unit = {
+    require(currentRound.exists(_ >= keepRound), s"round $keepRound not committed")
+    val d = dir(keepRound)
+    // compact into temp dirs first: the inputs are read lazily, so the
+    // target dirs cannot be overwritten in place
+    val pagesTmp = d.resolve("pages_compact_tmp")
+    val logTmp = d.resolve("fetch_log_compact_tmp")
+    pagesAsOf(spark, keepRound).write.mode("overwrite").parquet(pagesTmp.toString)
+    val logPaths = (1 to keepRound).map(i => dir(i).resolve("fetch_log"))
+      .filter(Files.exists(_)).map(_.toString)
+    spark.read.parquet(logPaths: _*).write.mode("overwrite").parquet(logTmp.toString)
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmTree(d.resolve("pages")); Files.move(pagesTmp, d.resolve("pages"))
+    rmTree(d.resolve("fetch_log")); Files.move(logTmp, d.resolve("fetch_log"))
+    (1 until keepRound).foreach(i => rmTree(dir(i)))
+  }
+
+  /** Load the latest committed state (all fetch_log deltas, one scan;
+    * expired rounds' dirs are simply absent). */
   def loadLatest(spark: SparkSession): Option[FrontierEngine.CrawlState] =
     currentRound.map { rN =>
       val d = dir(rN)
       val frontier = spark.read.parquet(d.resolve("frontier").toString)
       val seen = spark.read.parquet(d.resolve("seen").toString)
       val fetched = spark.read.parquet(
-        (1 to rN).map(i => dir(i).resolve("fetch_log").toString): _*)
+        (1 to rN).map(i => dir(i).resolve("fetch_log"))
+          .filter(Files.exists(_)).map(_.toString): _*)
       val count = manifest(rN)
         .flatMap(m => "\"fetched_count\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong))
         .getOrElse(fetched.count())

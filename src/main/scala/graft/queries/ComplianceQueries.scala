@@ -129,6 +129,43 @@ object ComplianceQueries {
                |       CAST(100 - (CASE WHEN is_https THEN 2 ELSE 1 END +
                |             CASE WHEN NOT has_consent_banner THEN 1 ELSE 0 END) * 15
                |            AS BIGINT) AS compliance_score
-               |FROM ${OracleMat.src("q80")} ORDER BY url""".stripMargin))
+               |FROM ${OracleMat.src("q80")} ORDER BY url""".stripMargin)),
+
+    // analyze_page_speed (:4916-5034): deterministic resource counts +
+    // optimization flags from the kernel; score arithmetic (:4965-4977,
+    // loadTime leg zero by construction) and the always-'F' gradeMap quirk
+    // (:4981) rebuilt in both engines
+    QuerySpec("q81_page_speed", (s, _) => {
+      import s.implicits._
+      val kernel = pagesWithScheme(s).as[(String, String)].map { case (u, h) =>
+        val p = PageTools.pageSpeed(h, graft.core.Html.parse(h))
+        (u, p.images, p.scripts, p.stylesheets, p.fonts, p.videos, p.htmlSize,
+          p.hasMinCss, p.hasMinJs, p.hasLazy, p.hasCdn, p.hasSw)
+      }.toDF("url", "images", "scripts", "stylesheets", "fonts", "videos",
+        "html_size", "min_css", "min_js", "lazy_img", "cdn", "sw")
+      val raw = lit(100) -
+        when(col("images") > 20, 15).otherwise(0) -
+        when(col("scripts") > 10, 10).otherwise(0) -
+        when(col("html_size") * 1.5 > 2000000d, 20).otherwise(0) +
+        when(col("min_css"), 5).otherwise(0) + when(col("min_js"), 5).otherwise(0) +
+        when(col("lazy_img"), 10).otherwise(0) + when(col("cdn"), 10).otherwise(0) +
+        when(col("sw"), 15).otherwise(0)
+      OracleMat(s, "q81")(kernel)
+        .withColumn("score", greatest(lit(0), least(lit(100), raw)).cast("long"))
+        .withColumn("grade", lit("F")) // reference gradeMap quirk (:4981)
+        .orderBy("url")
+    }, Some(s"""SELECT url, images, scripts, stylesheets, fonts, videos,
+               |       html_size, min_css, min_js, lazy_img, cdn, sw,
+               |       CAST(greatest(0, least(100,
+               |         100 - CASE WHEN images > 20 THEN 15 ELSE 0 END
+               |             - CASE WHEN scripts > 10 THEN 10 ELSE 0 END
+               |             - CASE WHEN html_size * 1.5 > 2000000 THEN 20 ELSE 0 END
+               |             + CASE WHEN min_css THEN 5 ELSE 0 END
+               |             + CASE WHEN min_js THEN 5 ELSE 0 END
+               |             + CASE WHEN lazy_img THEN 10 ELSE 0 END
+               |             + CASE WHEN cdn THEN 10 ELSE 0 END
+               |             + CASE WHEN sw THEN 15 ELSE 0 END)) AS BIGINT) AS score,
+               |       'F' AS grade
+               |FROM ${OracleMat.src("q81")} ORDER BY url""".stripMargin))
   )
 }

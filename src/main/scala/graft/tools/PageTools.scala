@@ -520,6 +520,34 @@ object PageTools {
     hasPrivacyPolicyLink =
       doc.select("a[href*=\"privacy\"], a[href*=\"policy\"]").nonEmpty) // (:5615)
 
+  // ---------------- analyze_page_speed (:4916-5034) ----------------------
+  /** Deterministic parts of analyze_page_speed: resource counts, html size,
+    * optimization-factor flags (:4946-4963). The wall-clock loadTime leg is
+    * excluded (self-declared simulated); its score deductions never fire
+    * with loadTime=0. NB reference quirk (:4981): the gradeMap lookup
+    * iterates Object.entries ascending and `find`s the FIRST threshold
+    * score >= t — key '0' always wins, so grade is always 'F'. Replicated
+    * at the query layer. */
+  final case class PageSpeed(images: Int, scripts: Int, stylesheets: Int,
+      fonts: Int, videos: Int, htmlSize: Int, hasMinCss: Boolean,
+      hasMinJs: Boolean, hasLazy: Boolean, hasCdn: Boolean, hasSw: Boolean,
+      hasPreload: Boolean, hasPrefetch: Boolean)
+
+  def pageSpeed(html: String, doc: Doc): PageSpeed = PageSpeed(
+    images = doc.select("img").size,
+    scripts = doc.select("script[src]").size,
+    stylesheets = doc.select("link[rel=\"stylesheet\"]").size,
+    fonts = doc.select("link[href*=\"font\"]").size,
+    videos = doc.select("video, iframe[src*=\"youtube\"], iframe[src*=\"vimeo\"]").size,
+    htmlSize = html.length,
+    hasMinCss = doc.select("link[href*=\".min.css\"]").nonEmpty,
+    hasMinJs = doc.select("script[src*=\".min.js\"]").nonEmpty,
+    hasLazy = doc.select("img[loading=\"lazy\"]").nonEmpty,
+    hasCdn = doc.select("script[src*=\"cdn\"], link[href*=\"cdn\"]").nonEmpty,
+    hasSw = html.contains("serviceWorker") || html.contains("sw.js"),
+    hasPreload = doc.select("link[rel=\"preload\"]").nonEmpty,
+    hasPrefetch = doc.select("link[rel=\"prefetch\"]").nonEmpty)
+
   // ---------------- convert_to_pdf stand-in (:3736-3781) ----------------
   /** Deterministic page-count estimate: ceil(words/500) (:3767). */
   def pdfPageCount(wordCount: Int): Int = math.max(1, math.ceil(wordCount / 500.0).toInt)

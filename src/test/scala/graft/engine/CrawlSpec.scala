@@ -152,6 +152,25 @@ class CrawlSpec extends AnyFunSuite {
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
 
+  test("snapshot expiry compacts deltas and preserves reads (TTL sweep analog)") {
+    val dirS = java.nio.file.Files.createTempDirectory("crawl-expire").toString
+    val store = new SnapshotStore(dirS)
+    val cfg = FrontierEngine.Config(2, 120, 7, true, true, 4, web)
+    FrontierEngine.crawl(spark, seeds(1), cfg, Some(store))
+    val rN = store.currentRound.get
+    assert(rN >= 2)
+    val pagesBefore = store.pagesAsOf(spark, rN).count()
+    val fetchedBefore = store.loadLatest(spark).get.fetched
+      .orderBy("order_idx").select("url").collect().map(_.getString(0)).toSeq
+    store.expireSnapshotsBefore(spark, rN)
+    // expired round dirs are gone; the compacted snapshot reads identically
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dirS/r1")))
+    assert(store.pagesAsOf(spark, rN).count() == pagesBefore)
+    val fetchedAfter = store.loadLatest(spark).get.fetched
+      .orderBy("order_idx").select("url").collect().map(_.getString(0)).toSeq
+    assert(fetchedAfter == fetchedBefore)
+  }
+
   test("Params.forCount keeps fp rate <5% at 100x the default sizing") {
     import spark.implicits._
     // default Params saturate past ~4M URLs; forCount must stay <5% fp.
