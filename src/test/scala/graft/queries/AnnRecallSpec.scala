@@ -36,4 +36,20 @@ class AnnRecallSpec extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"LSH recall $recall")
   }
+
+  test("embedding near-dup recovers EVERY planted clone pair (recall = 1.0)") {
+    // q23 plants one clone per vector at cosine ~1-1e-8; the 32-plane /
+    // 4x8-bit-band LSH must find every (vec_id, vec_id+10^6) pair — miss
+    // probability per pair is ~1e-14, and the pipeline is deterministic,
+    // so anything short of total recall is a banding regression
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val found = graft.SparkEntry.queries("q23_embedding_dup")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until n).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${(planted -- found).take(5)} of ${planted.size} planted pairs")
+    // and nothing else crosses the 0.999 threshold on this corpus
+    assert(found == planted, s"unexpected extra pairs: ${(found -- planted).take(5)}")
+  }
 }
