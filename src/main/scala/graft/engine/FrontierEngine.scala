@@ -222,29 +222,32 @@ object FrontierEngine {
     }
     var continue = state.fetchedCount < cfg.maxPages
     while (continue) {
+      // no isEmpty pre-check: an empty frontier yields taken == 0 in the
+      // round itself — the pre-check was one extra Spark job per round
       val fr = state.frontier.as[FrontierRow]
-      if (fr.isEmpty) continue = false
+      val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg)
+      if (r.taken == 0) continue = false
       else {
-        val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg)
-        if (r.taken == 0) continue = false
-        else {
-          // localCheckpoint truncates the iterative plan lineage — without
-          // it each round's DAG embeds all previous rounds and the driver
-          // OOMs on plan strings alone (on a cluster: use reliable
-          // checkpoint dirs / the SnapshotStore parquet as the cut point).
-          // `fetched` needs no checkpoint: each round's delta is already
-          // cached with flat lineage, so the union stays shallow.
-          val newState = CrawlState(
-            frontier = r.newFrontier.toDF().localCheckpoint(true),
-            seen = state.seen.union(r.seenDelta).localCheckpoint(true),
-            fetched = state.fetched.union(r.fetched),
-            round = state.round + 1,
-            fetchedCount = state.fetchedCount + r.taken)
-          store.foreach(_.commit(spark, newState, r))
-          state = newState
-          if (state.fetchedCount >= cfg.maxPages) continue = false
-          if (state.round >= cfg.maxRounds) continue = false
-        }
+        // localCheckpoint truncates the iterative plan lineage — without
+        // it each round's DAG embeds all previous rounds and the driver
+        // OOMs on plan strings alone (on a cluster: use reliable
+        // checkpoint dirs / the SnapshotStore parquet as the cut point).
+        // the seen set is NEVER rewritten per round: only the O(delta)
+        // round delta is checkpointed (truncating its lineage so the union
+        // can't recursively re-derive prior rounds on cache eviction) and
+        // unioned in — at 10^10 URLs a per-round full rewrite/checkpoint of
+        // the seen table would dominate every round's cost. `fetched`
+        // deltas are already cached with flat lineage.
+        val newState = CrawlState(
+          frontier = r.newFrontier.toDF().localCheckpoint(true),
+          seen = state.seen.union(r.seenDelta.localCheckpoint(true)),
+          fetched = state.fetched.union(r.fetched),
+          round = state.round + 1,
+          fetchedCount = state.fetchedCount + r.taken)
+        store.foreach(_.commit(spark, newState, r))
+        state = newState
+        if (state.fetchedCount >= cfg.maxPages) continue = false
+        if (state.round >= cfg.maxRounds) continue = false
       }
     }
     (state.fetched, state.seen)

@@ -7,8 +7,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * no Iceberg jars ship offline, so the table format is ours). Each crawl
   * round commits:
   *
-  *   <root>/r<N>/frontier/            parquet
-  *   <root>/r<N>/seen/                parquet
+  *   <root>/r<N>/frontier/            parquet (full: the frontier mutates)
+  *   <root>/r<N>/seen/                parquet (delta — seen is append-only)
   *   <root>/r<N>/fetch_log/           parquet (delta, this round only)
   *   <root>/r<N>/pages/               parquet (delta, OK rows only)
   *   <root>/r<N>/manifest.json        {round, fetchedCount, parent,
@@ -29,7 +29,11 @@ final class SnapshotStore(rootDir: String) {
       r: FrontierEngine.RoundResult): Unit = {
     val d = dir(state.round)
     state.frontier.write.mode("overwrite").parquet(d.resolve("frontier").toString)
-    state.seen.write.mode("overwrite").parquet(d.resolve("seen").toString)
+    // seen is append-only: commit the O(delta) round delta, never the full
+    // set — at 10^10 URLs a full per-round rewrite of the seen table would
+    // dominate every round's I/O. Readers union the deltas (one multi-path
+    // scan), exactly like pages/fetch_log.
+    r.seenDelta.write.mode("overwrite").parquet(d.resolve("seen").toString)
     r.fetched.write.mode("overwrite").parquet(d.resolve("fetch_log").toString)
     r.fetched.filter(org.apache.spark.sql.functions.col("status") === "OK")
       .write.mode("overwrite").parquet(d.resolve("pages").toString)
@@ -113,18 +117,18 @@ final class SnapshotStore(rootDir: String) {
     val d = dir(keepRound)
     // compact into temp dirs first: the inputs are read lazily, so the
     // target dirs cannot be overwritten in place
-    val pagesTmp = d.resolve("pages_compact_tmp")
-    val logTmp = d.resolve("fetch_log_compact_tmp")
-    pagesAsOf(spark, keepRound).write.mode("overwrite").parquet(pagesTmp.toString)
-    val logPaths = (1 to keepRound).map(i => dir(i).resolve("fetch_log"))
-      .filter(Files.exists(_)).map(_.toString)
-    spark.read.parquet(logPaths: _*).write.mode("overwrite").parquet(logTmp.toString)
+    def compact(sub: String): Unit = {
+      val tmp = d.resolve(s"${sub}_compact_tmp")
+      val paths = (1 to keepRound).map(i => dir(i).resolve(sub))
+        .filter(Files.exists(_)).map(_.toString)
+      spark.read.parquet(paths: _*).write.mode("overwrite").parquet(tmp.toString)
+      rmTree(d.resolve(sub)); Files.move(tmp, d.resolve(sub))
+    }
     def rmTree(p: Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
-    rmTree(d.resolve("pages")); Files.move(pagesTmp, d.resolve("pages"))
-    rmTree(d.resolve("fetch_log")); Files.move(logTmp, d.resolve("fetch_log"))
+    compact("pages"); compact("fetch_log"); compact("seen")
     (1 until keepRound).foreach(i => rmTree(dir(i)))
   }
 
@@ -134,7 +138,9 @@ final class SnapshotStore(rootDir: String) {
     currentRound.map { rN =>
       val d = dir(rN)
       val frontier = spark.read.parquet(d.resolve("frontier").toString)
-      val seen = spark.read.parquet(d.resolve("seen").toString)
+      val seen = spark.read.parquet(
+        (1 to rN).map(i => dir(i).resolve("seen"))
+          .filter(Files.exists(_)).map(_.toString): _*)
       val fetched = spark.read.parquet(
         (1 to rN).map(i => dir(i).resolve("fetch_log"))
           .filter(Files.exists(_)).map(_.toString): _*)
