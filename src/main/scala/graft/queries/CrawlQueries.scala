@@ -163,6 +163,40 @@ object CrawlQueries {
               |       len(str_split(markdown, chr(10))) AS n_lines
               |FROM ${OracleMat.src("q77")} ORDER BY url""".stripMargin)),
 
+    // validate_robots (server.ts:1971-2013 → robots.ts:78-105): per-(url,
+    // user-agent) allowed/reason rows; reason strings and per-host rollup
+    // recomputed by the oracle from the materialized decisions
+    QuerySpec(
+      "q83_validate_robots",
+      (s, _) => {
+        import s.implicits._
+        val inputs = for {
+          h <- 0 until 8; p <- 0 until 16
+          ua <- Seq("graft-bot", "other-bot")
+        } yield (SyntheticWeb.pageUrl(h, p), ua)
+        val kernel = s.createDataset(inputs).repartition(8)
+          .map { case (u, ua) =>
+            val host = graft.core.UrlNorm.host(u).getOrElse("")
+            val rules = graft.core.Robots.parse(SyntheticWeb.robotsTxt(
+              SyntheticWeb.parseUrl(u).map(_._1).getOrElse(0)))
+            (u, host, ua, graft.core.Robots.isAllowed(rules, u, ua))
+          }.toDF("url", "host", "user_agent", "allowed")
+        OracleMat(s, "q83")(kernel)
+          .withColumn("reason",
+            when(col("allowed"), "Allowed by robots.txt")
+              .otherwise("Disallowed by robots.txt")) // robots.ts:95
+          .groupBy(col("host"), col("user_agent"), col("reason"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("host"), col("user_agent"), col("reason"))
+      },
+      Some(s"""SELECT host, user_agent,
+              |       CASE WHEN allowed THEN 'Allowed by robots.txt'
+              |            ELSE 'Disallowed by robots.txt' END AS reason,
+              |       count(*) AS n
+              |FROM ${OracleMat.src("q83")}
+              |GROUP BY host, user_agent, reason
+              |ORDER BY host, user_agent, reason""".stripMargin)),
+
     // robots gate: per-status outcome counts over a crawl with denials
     QuerySpec(
       "q34_robots_gate",

@@ -179,6 +179,77 @@ object DedupQueries {
               |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // --- dedup clusters: connected components over the near-dup pair graph
+    //     — the canonical "keep one doc per duplicate cluster" step of a
+    //     100 TB training-data pipeline. Pairs come from the same
+    //     MinHash-LSH + exact-Jaccard-confirm kernel as q20; components via
+    //     iterative min-label propagation (label joins only touch the pair
+    //     graph, never the corpus; O(log diameter) rounds, lineage cut per
+    //     round). Oracle: DuckDB computes the transitive closure with a
+    //     recursive CTE over the materialized pairs — independent CC
+    //     verification. ----------------------------------------------------
+    QuerySpec(
+      "q82_dup_clusters",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val sig = d.withColumn("band_hashes",
+          minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
+        val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
+          .withColumnRenamed("pos", "band_id")
+          .withColumnRenamed("col", "band_hash")
+        val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+        val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+        val cand = a.join(b, Seq("band_id", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
+        val confirmed = cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
+          .filter(col("inter") * 10 >= col("union_") * 8)
+          .select(col("doc_a"), col("doc_b"))
+        val pairs = OracleMat(s, "q82_pairs")(confirmed)
+        val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        var labels = und.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node"))
+          .localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val prop = labels.join(und, col("node") === col("u"))
+            .select(col("v").as("node"), col("label"))
+            .unionByName(labels.select(col("node"), col("label")))
+            .groupBy(col("node")).agg(min(col("label")).as("new_label"))
+          val joined = labels.join(prop, Seq("node")).localCheckpoint(true)
+          changed = joined.filter(col("new_label") < col("label")).count()
+          labels = joined.select(col("node"), col("new_label").as("label"))
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+        labels
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"), (col("node") === col("label")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |edges AS (SELECT doc_a, doc_b FROM ${OracleMat.src("q82_pairs")}),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+              |        UNION ALL SELECT doc_b, doc_a FROM edges),
+              |nodes AS (SELECT DISTINCT u FROM und),
+              |reach(u, r) AS (
+              |  SELECT u, u FROM nodes
+              |  UNION
+              |  SELECT reach.u, und.v FROM reach JOIN und ON reach.r = und.u),
+              |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+              |SELECT doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              |       doc_id = cluster_id AS keep
+              |FROM cc ORDER BY doc_id""".stripMargin)),
+
     // --- exact n-gram Jaccard on a deterministic subset (SQL oracle) ------
     QuerySpec(
       "q22_ngram_jaccard",
