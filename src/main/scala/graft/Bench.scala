@@ -162,6 +162,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // never clobber the Verify main's /tmp/graft_kernel dump (the DuckDB
+    // oracle reads it): bench materializations go to a bench-local root
+    if (!sys.props.contains("graft.kernel.root"))
+      System.setProperty("graft.kernel.root", "/tmp/graft_kernel_bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 16M frontier rows: below ~8M the round's fixed costs dominate and

@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
 
+  // tests run queries at sf0.001 — never clobber the Verify main's
+  // /tmp/graft_kernel dump that the driver's DuckDB oracle reads
+  System.setProperty("graft.kernel.root", "/tmp/graft_kernel_test")
+
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .appName("plan-spec")
