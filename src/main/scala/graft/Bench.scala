@@ -85,10 +85,11 @@ object Bench {
   private def extractBench(spark: SparkSession, n: Long, cpus: Int): (Long, Double) = {
     import spark.implicits._
     val web = engine.SyntheticWeb.Config(nHosts = 256, pagesPerHost = 1 << 20)
-    val urls = spark.range(n).select(
+    // range born with the target partition count — a repartition here would
+    // add a full shuffle of the url column before the (narrow) extract
+    val urls = spark.range(0, n, 1, cpus * 2).select(
       concat(lit("http://host"), (col("id") % 256).cast("string"),
         lit(".example/p/"), col("id").cast("string")).as("url"))
-      .repartition(cpus * 2)
       .as[String]
     val (count, secs) = time {
       urls.mapPartitions { it =>

@@ -96,7 +96,7 @@ object FrontierEngine {
 
     // 4. global FIFO order index (distributed two-phase ranking) + cap
     val room = cfg.maxPages - fetchedSoFar
-    val indexed = withGlobalFifoIndex(spark, budgeted, fetchedSoFar)
+    val (indexed, indexedTotal) = withGlobalFifoIndexCounted(spark, budgeted, fetchedSoFar)
     val taken = indexed.filter(col("order_idx") < fetchedSoFar + room)
     val overflow = indexed.filter(col("order_idx") >= fetchedSoFar + room)
       .select(frontierCols: _*).as[FrontierRow]
@@ -142,7 +142,11 @@ object FrontierEngine {
       }
 
     val fetchedCached = fetched.cache()
-    val takenCount = fetchedCached.count()
+    // taken row count is already known from the FIFO-index partition counts
+    // (min(total, room)) — a count() action here would be one more full
+    // Spark job per round; materialization of the cached fetch happens on
+    // the first real consumer (children / seen-delta checkpoint / commit)
+    val takenCount = math.min(indexedTotal, math.max(0L, room))
 
     // 6. children → next frontier (anti-join vs seen happens next round;
     //    we pre-filter against this round's seen delta for compactness)
@@ -176,7 +180,13 @@ object FrontierEngine {
   /** Distributed global FIFO index: range-partition by the FIFO key, then
     * local rank + broadcast prefix offsets — no single-partition window. */
   def withGlobalFifoIndex(spark: SparkSession, df: DataFrame,
-      startAt: Long): DataFrame = {
+      startAt: Long): DataFrame =
+    withGlobalFifoIndexCounted(spark, df, startAt)._1
+
+  /** Same, also returning the total row count (already known from the
+    * per-partition counts — callers must not pay another count() job). */
+  def withGlobalFifoIndexCounted(spark: SparkSession, df: DataFrame,
+      startAt: Long): (DataFrame, Long) = {
     import spark.implicits._
     val parts = math.max(1, spark.sparkContext.defaultParallelism / 2)
     val sorted = df
@@ -206,7 +216,7 @@ object FrontierEngine {
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
       schema.add("order_idx", "long")))
-    out.drop("__pid")
+    (out.drop("__pid"), counts.map(_._2).sum)
   }
 
   /** Drive a full crawl from seeds; returns (all fetched rows, final seen).
