@@ -33,6 +33,14 @@ object ExportFixtures {
       manifest.append(s"$name\thttp://crafted.example/doc$i\n")
       n += 1
     }
+    // differential-fuzz corpus: 120 random well-formed documents — the
+    // byte-identity claim must hold beyond hand-picked cases
+    for ((url, html) <- FuzzHtml.corpus(120)) {
+      val name = url.stripPrefix("http://fuzz.example/") + ".html"
+      java.nio.file.Files.writeString(outDir.resolve(name), html)
+      manifest.append(s"$name\t$url\n")
+      n += 1
+    }
     java.nio.file.Files.writeString(outDir.resolve("manifest.tsv"), manifest.toString)
     println(s"$n fixtures -> $outDir")
   }
