@@ -72,6 +72,54 @@ object DedupQueries {
   // join on low-entropy corpora: measured 37s → 2s at sf0.1.)
   val Bands = 8
 
+  /** Confirmed near-dup pairs (jaccard ≥ 0.8) from (doc_id, toks) via
+    * MinHash-LSH banding + exact-Jaccard confirm — the q20 kernel, shared
+    * by the cluster/corpus-filter queries. */
+  def minhashPairs(d: DataFrame): DataFrame = {
+    val sig = d.withColumn("band_hashes",
+      minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
+    val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .filter(col("inter") * 10 >= col("union_") * 8)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation: joins touch only the (small) pair graph,
+    * O(log diameter) rounds, lineage cut per round. Returns (node, label =
+    * min doc_id of the component). */
+  def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(und, col("node") === col("u"))
+        .select(col("v").as("node"), col("label"))
+        .unionByName(labels.select(col("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("new_label"))
+      val joined = labels.join(prop, Seq("node")).localCheckpoint(true)
+      changed = joined.filter(col("new_label") < col("label")).count()
+      labels = joined.select(col("node"), col("new_label").as("label"))
+    }
+    labels
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     // --- MinHash + LSH near-dup pairs. Oracle: the LSH candidate set and
     //     the per-doc word sets are materialized; DuckDB independently
@@ -193,41 +241,8 @@ object DedupQueries {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val sig = d.withColumn("band_hashes",
-          minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
-        val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
-          .withColumnRenamed("pos", "band_id")
-          .withColumnRenamed("col", "band_hash")
-        val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-        val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-        val cand = a.join(b, Seq("band_id", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
-        val confirmed = cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-          .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
-          .filter(col("inter") * 10 >= col("union_") * 8)
-          .select(col("doc_a"), col("doc_b"))
-        val pairs = OracleMat(s, "q82_pairs")(confirmed)
-        val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        var labels = und.select(col("u").as("node")).distinct()
-          .withColumn("label", col("node"))
-          .localCheckpoint(true)
-        var changed = 1L
-        while (changed > 0) {
-          val prop = labels.join(und, col("node") === col("u"))
-            .select(col("v").as("node"), col("label"))
-            .unionByName(labels.select(col("node"), col("label")))
-            .groupBy(col("node")).agg(min(col("label")).as("new_label"))
-          val joined = labels.join(prop, Seq("node")).localCheckpoint(true)
-          changed = joined.filter(col("new_label") < col("label")).count()
-          labels = joined.select(col("node"), col("new_label").as("label"))
-        }
+        val pairs = OracleMat(s, "q82_pairs")(minhashPairs(d))
+        val labels = ccLabels(s, pairs)
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
         labels
           .withColumn("cluster_size", count(lit(1)).over(w))
@@ -249,6 +264,80 @@ object DedupQueries {
               |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
               |       doc_id = cluster_id AS keep
               |FROM cc ORDER BY doc_id""".stripMargin)),
+
+    // --- composed training-corpus filter: the C4/Gopher-shaped keep/drop
+    //     pipeline — token-count band + stopword-density quality gate,
+    //     language-ID gate, exact-dup representative (md5 group min) and
+    //     near-dup cluster representative (MinHash-LSH pairs → connected
+    //     components → min doc_id). Every stage is cross-engine verified:
+    //     DuckDB recomputes the gates from raw text and the clusters via a
+    //     recursive CTE over the materialized pairs. ------------------------
+    QuerySpec(
+      "q84_corpus_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toksDf = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        val pairs = OracleMat(s, "q84_pairs")(minhashPairs(toksDf))
+        val labels = ccLabels(s, pairs)
+        val en = TextQueries.LangMarkers("en"); val es = TextQueries.LangMarkers("es")
+        val fr = TextQueries.LangMarkers("fr"); val de = TextQueries.LangMarkers("de")
+        def hits(ws: Seq[String]) =
+          size(filter(tokens(col("text")), w => w.isin(ws.map(lit): _*)))
+        val sig = d.select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          hits(TextQueries.StopWords).as("n_stop"),
+          hits(en).as("en_hits"), hits(es).as("es_hits"),
+          hits(fr).as("fr_hits"), hits(de).as("de_hits"),
+          md5(col("text").cast("binary")).as("h"))
+        val wMd5 = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+        val scored = sig
+          .withColumn("exact_rep", col("doc_id") === min(col("doc_id")).over(wMd5))
+          .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+          .withColumn("near_rep", col("label").isNull || col("label") === col("doc_id"))
+          // quality: 10..100k tokens and >=1% stopword density (int math)
+          .withColumn("quality_ok",
+            col("n_tokens").between(10, 100000) &&
+              col("n_stop") * 100 >= col("n_tokens"))
+          .withColumn("lang_ok",
+            col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
+              col("en_hits") >= col("de_hits"))
+          .withColumn("kept",
+            col("quality_ok") && col("lang_ok") && col("exact_rep") && col("near_rep"))
+        scored.select(col("doc_id"), col("n_tokens"), col("quality_ok"),
+          col("lang_ok"), col("exact_rep"), col("near_rep"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |edges AS (SELECT doc_a, doc_b FROM ${OracleMat.src("q84_pairs")}),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+              |        UNION ALL SELECT doc_b, doc_a FROM edges),
+              |nodes AS (SELECT DISTINCT u FROM und),
+              |reach(u, r) AS (
+              |  SELECT u, u FROM nodes
+              |  UNION
+              |  SELECT reach.u, und.v FROM reach JOIN und ON reach.r = und.u),
+              |cc AS (SELECT u AS doc_id, min(r) AS label FROM reach GROUP BY u),
+              |sig AS (
+              |  SELECT doc_id,
+              |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+              |    ${TextQueries.sqlHitCount("text", TextQueries.StopWords)} AS n_stop,
+              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("en"))} AS en_hits,
+              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("es"))} AS es_hits,
+              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("fr"))} AS fr_hits,
+              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("de"))} AS de_hits,
+              |    md5(text) AS h
+              |  FROM documents),
+              |scored AS (
+              |  SELECT s.doc_id, s.n_tokens,
+              |    s.n_tokens BETWEEN 10 AND 100000 AND s.n_stop * 100 >= s.n_tokens AS quality_ok,
+              |    s.en_hits >= s.es_hits AND s.en_hits >= s.fr_hits
+              |      AND s.en_hits >= s.de_hits AS lang_ok,
+              |    s.doc_id = min(s.doc_id) OVER (PARTITION BY s.h) AS exact_rep,
+              |    cc.label IS NULL OR cc.label = s.doc_id AS near_rep
+              |  FROM sig s LEFT JOIN cc ON cc.doc_id = s.doc_id)
+              |SELECT doc_id, n_tokens, quality_ok, lang_ok, exact_rep, near_rep,
+              |       quality_ok AND lang_ok AND exact_rep AND near_rep AS kept
+              |FROM scored ORDER BY doc_id""".stripMargin)),
 
     // --- exact n-gram Jaccard on a deterministic subset (SQL oracle) ------
     QuerySpec(

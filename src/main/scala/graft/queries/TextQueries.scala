@@ -57,7 +57,7 @@ object TextQueries {
   private def hitCount(c: Column, ws: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(ws.map(lit): _*)))
 
-  private def sqlHitCount(expr: String, ws: Seq[String]): String =
+  def sqlHitCount(expr: String, ws: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(lower($expr), '\\s+'), w -> w IN ${sqlList(ws)}))"
 
   val specs: Seq[QuerySpec] = Seq(
