@@ -54,6 +54,8 @@ object Bench {
         (col("id") / 64).cast("long").as("parent_order"),
         (col("id") % 64).cast("int").as("link_pos"))
       .withColumn("url_hash", xxhash64(col("url")))
+      .withColumn("priority", col("depth").cast("double"))
+      .withColumn("next_fetch_time", lit(0L))
     val seen = spark.range(n / 5)
       .select(xxhash64(concat(lit("http://host"), (col("id") % hosts).cast("string"),
         lit(".example/p/"), (col("id") % (n * 7 / 10)).cast("string"))).as("url_hash"))
@@ -62,14 +64,19 @@ object Bench {
     val (count, secs) = time {
       val deduped = frontier
         .groupBy(col("url_hash"), col("url"), col("host"))
-        .agg(min(struct(col("parent_order"), col("link_pos"), col("depth"))).as("seq"))
+        .agg(min(struct(col("parent_order"), col("link_pos"), col("depth"),
+          col("priority"), col("next_fetch_time"))).as("seq"))
         .select(col("url_hash"), col("url"), col("host"),
           col("seq.depth").as("depth"),
           col("seq.parent_order").as("parent_order"),
-          col("seq.link_pos").as("link_pos"))
+          col("seq.link_pos").as("link_pos"),
+          col("seq.priority").as("priority"),
+          col("seq.next_fetch_time").as("next_fetch_time"))
       val fresh = deduped.join(seen, Seq("url_hash"), "left_anti")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("host")).orderBy(col("parent_order"), col("link_pos"))
+        .partitionBy(col("host"))
+        .orderBy(col("priority"), col("next_fetch_time"),
+          col("parent_order"), col("link_pos"))
       val budgeted = fresh.withColumn("host_rank", row_number().over(w))
         .filter(col("host_rank") <= 100000)
       val indexed = engine.FrontierEngine.withGlobalFifoIndex(spark, budgeted, 0L)

@@ -32,7 +32,13 @@ object FrontierEngine {
 
   final case class FrontierRow(
       url: String, url_hash: Long, host: String, depth: Int,
-      parent_order: Long, link_pos: Int)
+      parent_order: Long, link_pos: Int,
+      // the scheduler's general rank keys (north rule: "rank by (priority,
+      // next-fetch-time) with a window over host"). BFS is the degenerate
+      // case priority = depth, next_fetch_time = 0 — the rank order then
+      // coincides with the FIFO (parent_order, link_pos) order, which is
+      // what the reference-exactness oracle pins.
+      priority: Double = 0.0, next_fetch_time: Long = 0L)
 
   final case class FetchedRow(
       url: String, url_hash: Long, host: String, depth: Int, round: Int,
@@ -60,7 +66,7 @@ object FrontierEngine {
   def seedFrontier(spark: SparkSession, seeds: Seq[String]): Dataset[FrontierRow] = {
     import spark.implicits._
     seeds.flatMap(UrlNorm.canonicalize).zipWithIndex.map { case (u, i) =>
-      FrontierRow(u, UrlNorm.urlHash(u), UrlNorm.host(u).getOrElse(""), 0, -1L, i)
+      FrontierRow(u, UrlNorm.urlHash(u), UrlNorm.host(u).getOrElse(""), 0, -1L, i, 0.0, 0L)
     }.toDS()
   }
 
@@ -76,19 +82,27 @@ object FrontierEngine {
       .filter(col("depth") <= cfg.maxDepth)
       .groupBy(col("url_hash"), col("url"), col("host"))
       .agg(
-        min(struct(col("parent_order"), col("link_pos"), col("depth"))).as("seq"))
+        min(struct(col("parent_order"), col("link_pos"), col("depth"),
+          col("priority"), col("next_fetch_time"))).as("seq"))
       .select(col("url_hash"), col("url"), col("host"),
         col("seq.depth").as("depth"),
         col("seq.parent_order").as("parent_order"),
-        col("seq.link_pos").as("link_pos"))
+        col("seq.link_pos").as("link_pos"),
+        col("seq.priority").as("priority"),
+        col("seq.next_fetch_time").as("next_fetch_time"))
 
     // 2. exact anti-join against the seen set (hash equi-join; the Bloom
     //    prefilter is applied by the caller when the seen set is large)
     val fresh = deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
 
-    // 3. per-host politeness budget: FIFO rank over the host key, PRE-salt
+    // 3. per-host politeness budget: rank by (priority, next_fetch_time)
+    //    with FIFO tiebreak, over the host key, PRE-salt (north rule). In
+    //    BFS mode priority=depth and nft=0, and because every depth-d page
+    //    is fetched before any depth-(d+1) page, the priority-first order
+    //    equals the pure FIFO order — reference exactness is preserved.
     val wHost = Window.partitionBy(col("host"))
-      .orderBy(col("parent_order"), col("link_pos"))
+      .orderBy(col("priority"), col("next_fetch_time"),
+        col("parent_order"), col("link_pos"))
     val ranked = fresh.withColumn("host_rank", row_number().over(wHost))
     val budgeted = ranked.filter(col("host_rank") <= cfg.hostBudget)
     val deferredByBudget = ranked.filter(col("host_rank") > cfg.hostBudget)
@@ -162,6 +176,8 @@ object FrontierEngine {
         graft.functions.UrlExpressions.url_host(col("url")), lit("")))
       .join(fetchedCached.select(col("order_idx").as("parent_order"),
         (col("depth") + 1).as("depth")), Seq("parent_order"))
+      .withColumn("priority", col("depth").cast("double")) // BFS: priority=depth
+      .withColumn("next_fetch_time", lit(0L))
       .select(frontierCols: _*).as[FrontierRow]
 
     val seenDelta = fetchedCached.select(col("url_hash"), col("url"))
@@ -175,7 +191,8 @@ object FrontierEngine {
 
   private val frontierCols = Seq(
     col("url"), col("url_hash"), col("host"), col("depth"),
-    col("parent_order"), col("link_pos"))
+    col("parent_order"), col("link_pos"),
+    col("priority"), col("next_fetch_time"))
 
   /** Distributed global FIFO index: range-partition by the FIFO key, then
     * local rank + broadcast prefix offsets — no single-partition window. */

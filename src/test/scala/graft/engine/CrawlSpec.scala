@@ -152,6 +152,31 @@ class CrawlSpec extends AnyFunSuite {
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
 
+  test("budget window ranks by (priority, next_fetch_time) with FIFO tiebreak") {
+    import spark.implicits._
+    // one host, budget 2: the two best (priority, nft) rows must be taken,
+    // regardless of FIFO position — the general scheduler surface the BFS
+    // special-case (priority=depth, nft=0) degenerates from
+    def row(p: Int, prio: Double, nft: Long, pos: Int) = {
+      val u = SyntheticWeb.pageUrl(0, p)
+      FrontierEngine.FrontierRow(u, graft.core.UrlNorm.urlHash(u), "host0.example",
+        0, 0L, pos, prio, nft)
+    }
+    val frontier = Seq(
+      row(1, 2.0, 0L, 0), // worst priority, earliest FIFO
+      row(2, 1.0, 5L, 1), // best priority, later nft
+      row(3, 1.0, 2L, 2)  // best priority, earliest nft -> rank 1
+    ).toDS()
+    val emptySeen = Seq.empty[(Long, String)].toDF("url_hash", "url")
+    val cfg = FrontierEngine.Config(maxDepth = 0, maxPages = 100, hostBudget = 2, web = web)
+    val r = FrontierEngine.round(spark, frontier, emptySeen, 1, 0L, cfg)
+    val fetchedUrls = r.fetched.select("url").collect().map(_.getString(0)).toSet
+    assert(fetchedUrls == Set(SyntheticWeb.pageUrl(0, 3), SyntheticWeb.pageUrl(0, 2)),
+      s"took $fetchedUrls")
+    val deferred = r.newFrontier.collect().map(_.url).toSet
+    assert(deferred.contains(SyntheticWeb.pageUrl(0, 1)))
+  }
+
   test("snapshot expiry compacts deltas and preserves reads (TTL sweep analog)") {
     val dirS = java.nio.file.Files.createTempDirectory("crawl-expire").toString
     val store = new SnapshotStore(dirS)
