@@ -78,6 +78,34 @@ object Robots {
     } else true
   }
 
+  // ---- robots-parser encoding normalization (Robots.js:84-105) ----------
+  // patterns: normaliseEncoding = urlEncodeToUpper(encodeURI(p).replace(
+  // /%25/g,'%')) — i.e. percent-encode everything encodeURI would, leave
+  // existing %XX intact, uppercase hex. match paths: the WHATWG URL
+  // serializer has already percent-encoded specials (new URL(...).pathname)
+  // before urlEncodeToUpper.
+  private def pctUpper(s: String): String =
+    "%[0-9a-fA-F]{2}".r.replaceAllIn(s, m => m.matched.toUpperCase)
+
+  private def utf8Pct(cp: Int): String =
+    new String(Character.toChars(cp)).getBytes("UTF-8")
+      .map(b => f"%%${b & 0xff}%02X").mkString
+
+  // chars encodeURI leaves unescaped (MDN): alnum + ;,/?:@&=+$-_.!~*'()#
+  private def encodeUriKeeps(c: Char): Boolean =
+    c.isLetterOrDigit && c < 128 || ";,/?:@&=+$-_.!~*'()#%".indexOf(c) >= 0
+
+  private[core] def normalisePattern(p: String): String =
+    pctUpper(p.flatMap(c => if (encodeUriKeeps(c)) c.toString else utf8Pct(c)))
+
+  // WHATWG path+query percent-encode set (space, quotes, angle brackets,
+  // backtick, braces, controls, non-ASCII); '%' and existing escapes kept
+  private def whatwgKeeps(c: Char): Boolean =
+    c > ' ' && c < 127 && "\"<>`{}".indexOf(c) < 0
+
+  private[core] def normalisePath(p: String): String =
+    pctUpper(p.flatMap(c => if (whatwgKeeps(c)) c.toString else utf8Pct(c)))
+
   /** Parse robots.txt body. Empty/erroring body ⇒ allow-all rules. */
   def parse(body: String): RobotsRules = {
     if (body == null || body.trim.isEmpty) return RobotsRules(Seq.empty)
@@ -109,11 +137,11 @@ object Robots {
               agents += value.toLowerCase
             case "disallow" =>
               sawRule = true
-              if (value.nonEmpty) rules += Rule(allow = false, value)
+              if (value.nonEmpty) rules += Rule(allow = false, normalisePattern(value))
             // empty Disallow ⇒ allow everything (no rule)
             case "allow" =>
               sawRule = true
-              if (value.nonEmpty) rules += Rule(allow = true, value)
+              if (value.nonEmpty) rules += Rule(allow = true, normalisePattern(value))
             case "crawl-delay" =>
               sawRule = true
               delay = scala.util.Try(value.toDouble).toOption
@@ -131,7 +159,7 @@ object Robots {
     UrlNorm.parse(url) match {
       case Some(p) =>
         val pathQ = p.path + (if (p.query.nonEmpty) "?" + p.query else "")
-        rules.isAllowed(pathQ, userAgent)
+        rules.isAllowed(normalisePath(pathQ), userAgent)
       case None => false
     }
 }
