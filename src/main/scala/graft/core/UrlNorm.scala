@@ -78,15 +78,28 @@ object UrlNorm {
   def host(url: String): Option[String] = parse(url.trim).map(_.host)
 
   /** RFC 3986 §5.2.4 remove_dot_segments (always yields an absolute path). */
+  // WHATWG URL spec: a path segment is a single-dot segment if it is "."
+  // or "%2e" (case-insensitive); double-dot if "..", ".%2e", "%2e.", or
+  // "%2e%2e" — percent-encoded dots participate in dot-segment removal
+  private def isSingleDot(s: String): Boolean =
+    s == "." || s.equalsIgnoreCase("%2e")
+  private def isDoubleDot(s: String): Boolean =
+    s == ".." || {
+      val l = s.toLowerCase
+      l == ".%2e" || l == "%2e." || l == "%2e%2e"
+    }
+
   def normalizePath(path: String): String = {
     val out = new scala.collection.mutable.ArrayBuffer[String]
     path.split("/", -1).foreach {
-      case "" | "." => // empty / same-dir segments vanish
-      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
-      case s        => out += s
+      case "" => // empty segments vanish
+      case s if isSingleDot(s) => // same-dir segments vanish
+      case s if isDoubleDot(s) => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
     }
+    val lastSeg = path.substring(path.lastIndexOf('/') + 1)
     val trailingSlash =
-      path.endsWith("/") || path.endsWith("/.") || path.endsWith("/..")
+      path.endsWith("/") || isSingleDot(lastSeg) || isDoubleDot(lastSeg)
     val base = "/" + out.mkString("/")
     if (trailingSlash && base != "/") base + "/" else base
   }
