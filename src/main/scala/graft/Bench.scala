@@ -246,6 +246,10 @@ object Bench {
       return
     }
     val spark = session(cpus)
+    // session warm-up outside the timings: the first measured query would
+    // otherwise absorb executor/codegen/parquet-footer startup (~3s)
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -100,6 +100,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("& 255"), s"bands are not 8-bit:\n${p.take(2000)}")
   }
 
+  test("q82/q84 component joins are equi-joins (no cartesian shapes)") {
+    Seq("q82_dup_clusters", "q84_corpus_filter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a cartesian shape:\n${p.take(1500)}")
+    }
+  }
+
   test("q20 minhash candidate join carries no token arrays through any exchange") {
     val p = plan("q20_minhash_lsh")
     // at small scale AQE may broadcast the band side instead of shuffling;
