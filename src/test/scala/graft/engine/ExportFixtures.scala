@@ -91,6 +91,19 @@ object CraftedFixtures {
     doc("""<table><thead><tr><th>H1</th><th>H2</th></tr></thead>
           |<tbody><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></tbody></table>""".stripMargin),
     // divs/spans pass-through + empty elements dropped by cleanContent
-    doc("""<div><span>span text</span> in a div.</div><p></p><div></div><p>tail para.</p>""")
+    doc("""<div><span>span text</span> in a div.</div><p></p><div></div><p>tail para.</p>"""),
+    // inline edge cases: img-only emphasis, empty href, spaced/backticked
+    // code spans, strong containing a link
+    doc("""<p><em><img src="http://x.example/i.png" alt="only img"></em> tail text.</p>
+          |<p><a href="">empty href anchor</a> and <a href="/x"></a> empty-text link.</p>
+          |<p><code>back`tick</code> and <code> spaced ends </code> and <strong><a href="/y">bold link</a></strong>.</p>""".stripMargin),
+    // multi-paragraph list items + ordered start attribute + nested blocks
+    doc("""<ol start="5"><li><p>first para</p><p>second para</p></li><li>short item</li></ol>
+          |<ul><li>item with<blockquote><p>a quote inside</p></blockquote></li></ul>""".stripMargin),
+    // figure/figcaption + dl (default-rule block coverage) + headings with
+    // inline markup
+    doc("""<figure><img src="http://x.example/f.png" alt="fig"><figcaption>the caption</figcaption></figure>
+          |<dl><dt>term</dt><dd>definition text</dd></dl>
+          |<h2>head <code>c()</code> and <a href="/x">a link</a></h2>""".stripMargin)
   )
 }
