@@ -41,6 +41,15 @@ object ExportFixtures {
       manifest.append(s"$name\t$url\n")
       n += 1
     }
+    // malformed-HTML corpus (round 3): error-recovery differential — real
+    // crawl HTML is mostly malformed, so the byte-identity claim must hold
+    // through parse5's tree-construction recovery rules too
+    for ((url, html) <- FuzzHtml.malformedCorpus(120)) {
+      val name = "mal_" + url.stripPrefix("http://malfuzz.example/") + ".html"
+      java.nio.file.Files.writeString(outDir.resolve(name), html)
+      manifest.append(s"$name\t$url\n")
+      n += 1
+    }
     java.nio.file.Files.writeString(outDir.resolve("manifest.tsv"), manifest.toString)
     println(s"$n fixtures -> $outDir")
   }

@@ -80,4 +80,76 @@ object FuzzHtml {
     (0 until n).map { i =>
       (s"http://fuzz.example/doc$i", new Gen(1000L + i).doc())
     }
+
+  /** MALFORMED-HTML differential corpus (round 3): documents exercising the
+    * HTML5 error-recovery rules a real crawl depends on — unclosed
+    * p/li/td/tr, stray close tags, mis-nested inline/block formatting
+    * (adoption agency + active-formatting reconstruction), unquoted
+    * attributes, bad/legacy entities, heading auto-close, nested anchors,
+    * self-closed non-voids, foster-parented table text, CRLF, uppercase
+    * tags. Both parsers (ours and the reference's parse5) must build the
+    * same tree: the goldens pin extracted text AND markdown byte-for-byte.
+    */
+  final class MalGen(seed: Long) {
+    private val rnd = new scala.util.Random(seed)
+    private def pick[A](xs: Vector[A]): A = xs(rnd.nextInt(xs.size))
+    private def w(n: Int): String =
+      (1 to n).map(_ => if (rnd.nextInt(7) == 0) pick(specials) else pick(words))
+        .mkString(" ")
+
+    private def fmtTag(): String = pick(Vector("b", "i", "em", "strong", "code", "u", "s", "small"))
+
+    private def badEntityText(): String = pick(Vector(
+      s"fish &amp chips ${w(1)}", s"&copy 2020 ${w(1)}", s"x &lt y &gt z",
+      s"${w(1)} &nosuch; ${w(1)}", s"${w(1)} &notit; tail", s"&#65 and &#x42 go",
+      s"&#153; curly &#8212 dash", s"100&nbsp200 units", s"q &quotmarks&quot q",
+      s"&; alone & bare &# num &#x hex", s"&ampamp; doubled ${w(1)}"))
+
+    private def block(depth: Int): String = rnd.nextInt(16) match {
+      case 0 => s"<p>${w(3)} <p>${w(3)}" // unclosed p chain
+      case 1 => s"<ul><li>${w(2)}<li>${w(2)}<li><${fmtTag()}>${w(2)}<li>${w(2)}</ul>"
+      case 2 => s"<table><tr><td>${w(1)}<td>${w(1)}<tr><td>${w(1)}<td>${w(1)}</table>"
+      case 3 => // stray close tags
+        s"<p>${w(2)}</${pick(Vector("div", "span", "em", "section"))}> ${w(2)}</p></p>"
+      case 4 => s"${w(2)}</br>${w(2)}" // </br> acts as <br>
+      case 5 => // formatting element left open across blocks
+        val t = fmtTag()
+        s"<$t>${w(2)}<p>${w(3)}</p>${w(1)}</$t>"
+      case 6 => // adoption agency: mis-nested inline pair
+        val (a, b) = (fmtTag(), fmtTag())
+        s"<p><$a>${w(1)} <$b>${w(2)}</$a> ${w(2)}</$b> ${w(1)}</p>"
+      case 7 => // p interrupted by block while formatting open
+        s"<p>${w(1)} <${fmtTag()}>${w(2)} <p>${w(2)}"
+      case 8 => // unquoted attrs + UPPERCASE tags
+        s"""<P CLASS=big><A HREF=http://x.example/p${rnd.nextInt(40)} TITLE=t${rnd.nextInt(9)}>${w(2)}</a> ${w(2)}</p>"""
+      case 9 => s"<p>${badEntityText()}</p>"
+      case 10 => s"<h${rnd.nextInt(3) + 1}>${w(2)}<h${rnd.nextInt(3) + 2}>${w(2)}</h6>" // heading auto-close + wrong close
+      case 11 => // nested <a>
+        s"""<p><a href="http://x.example/${rnd.nextInt(20)}">${w(1)} <a href="http://x.example/n${rnd.nextInt(20)}">${w(1)}</a> ${w(1)}</a></p>"""
+      case 12 => s"<div/>${w(3)}<p>${w(2)}</p>" // self-closed non-void stays open
+      case 13 => s"<table>${w(2)}<tr><td>${w(1)}</td></tr></table>" // foster-parented text
+      case 14 => // list item left open w/ nested list malformation
+        s"<ol><li>${w(2)}<ol><li>${w(1)}<li>${w(1)}</ol><li>${w(2)}</ol>"
+      case _ if depth > 0 =>
+        s"""<div class="m${rnd.nextInt(4)}">${block(depth - 1)}${block(depth - 1)}</div>"""
+      case _ => s"<p>${w(4)}</p>"
+    }
+
+    def doc(): String = {
+      val nl = if (rnd.nextInt(4) == 0) "\r\n" else "\n"
+      val pre = if (rnd.nextInt(5) == 0) s"<pre>\ncode line ${rnd.nextInt(9)}\n  indented</pre>" else ""
+      val body = (1 to rnd.nextInt(5) + 3).map(_ => block(2)).mkString(nl) + pre
+      (s"<!DOCTYPE html><html><head><title>${w(3)} &amp co</title></head>" + nl +
+        s"<body><main>$body" + nl +
+        "<p>Deterministic padding paragraph keeping the main content block above" + nl +
+        "the one-hundred-character extraction threshold for all fuzz documents.</p>" + nl +
+        "</main></body></html>")
+    }
+  }
+
+  /** The malformed corpus: n docs from seeds 5000..5000+n-1. */
+  def malformedCorpus(n: Int): Seq[(String, String)] =
+    (0 until n).map { i =>
+      (s"http://malfuzz.example/doc$i", new MalGen(5000L + i).doc())
+    }
 }

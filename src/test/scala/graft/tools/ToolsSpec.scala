@@ -90,10 +90,15 @@ class ToolsSpec extends AnyFunSuite {
   }
 
   test("extractTables: headerless first-row fallback") {
+    // parse5/cheerio imply <tbody> around bare <tr>s, so the reference's
+    // `tbody tr, tr:not(:first-child)` row selector matches EVERY row —
+    // the first-row "header" is also emitted as a data row (verified
+    // against cheerio directly; our spec tree builder now reproduces the
+    // implied-tbody tree, so we inherit the same quirk byte-for-byte)
     val doc = Html.parse("<table><tr><td>h1</td><td>h2</td></tr><tr><td>1</td><td>2</td></tr></table>")
     val t = PageTools.extractTables(doc).head
     assert(t.headers == Seq("h1", "h2"))
-    assert(t.rows == Seq(Seq("1", "2")))
+    assert(t.rows == Seq(Seq("h1", "h2"), Seq("1", "2")))
   }
 
   test("extractHeadings: sorted by (level, index) (server.ts:3138-3141)") {
