@@ -147,9 +147,64 @@ object FuzzHtml {
     }
   }
 
-  /** The malformed corpus: n docs from seeds 5000..5000+n-1. */
+  /** The malformed corpus: n docs from seeds 5000..5000+n-1, plus crafted
+    * cases targeting specific tree-construction algorithm steps. */
   def malformedCorpus(n: Int): Seq[(String, String)] =
     (0 until n).map { i =>
       (s"http://malfuzz.example/doc$i", new MalGen(5000L + i).doc())
+    } ++ craftedMalformed.zipWithIndex.map { case (b, i) =>
+      (s"http://malfuzz.example/crafted$i", malDoc(b))
     }
+
+  private def malDoc(body: String): String =
+    s"""<!DOCTYPE html><html><head><title>Crafted Malformed Case Page</title></head>
+       |<body><main>$body
+       |<p>Padding paragraph so the main content selector's one-hundred-character
+       |threshold is comfortably exceeded by every crafted fixture document.</p>
+       |</main></body></html>""".stripMargin
+
+  /** Hand-written malformations pinning individual spec algorithm steps:
+    * adoption agency inner/outer loops, Noah's Ark, foster parenting of
+    * elements, caption/colgroup recovery, button scope, the form pointer,
+    * deep wrong-order close stacks. */
+  private val craftedMalformed: Seq[String] = Seq(
+    // adoption agency with a real furthest block (b wraps a div)
+    """<b>bold <div>in div</div> still bold</b> plain after""",
+    // adoption outer loop: same formatting tag closed repeatedly
+    """<b>one<b>two<b>three</b>four</b>five</b>six""",
+    // adoption inner loop >3: many formatting elements between fe and block
+    """<p><a href="/x"><b><i><u><s><code>deep<div>block</div>text</a> tail</p>""",
+    // Noah's Ark: four identical <b> entries collapse to three
+    """<p><b class="x">1<b class="x">2<b class="x">3<b class="x">4</p><p>after paragraph</p>""",
+    // foster parenting of ELEMENTS out of a table
+    """<table><div>fostered div</div><b>fostered bold</b><tr><td>cell</td></tr></table>""",
+    // caption and colgroup recovery
+    """<table><caption>cap <p>in cap<tr><td>one</td></table>""",
+    """<table><colgroup><col><col><td>cell</td></table>""",
+    // button scope: p inside button does not close outer p
+    """<p>one <button>two <p>three</button> four</p>""",
+    // form pointer: nested form ignored
+    """<form action="/a"><p>first</p><form action="/b"><p>second</p></form></form>""",
+    // wrong-order close stack across blocks
+    """<div><em>e1 <strong>s1</div> outside</strong> more</em> done""",
+    // li interrupted by div (address/div/p exception in the li loop)
+    """<ul><li>item <div>block in li<li>second</div></li></ul>""",
+    // stray </td> </tr> outside tables; td outside table dropped
+    """<p>a</td>b</tr>c</p><td>loose cell</td><p>tail</p>""",
+    // select with options (no inSelect mode divergence for simple content)
+    """<p><select><option>opt one<option>opt two</select> after</p>""",
+    // table inside table (spec: new table closes the old)
+    """<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>""",
+    // heading closed by different heading end tag + residue formatting
+    """<h2>head <em>emp</h3> text after""",
+    // rcdata/raw edges: textarea keeps markup, title entity, xmp verbatim
+    """<p>before</p><textarea rows=2><b>not bold</b> &amp; kept</textarea><p>after</p>""",
+    """<xmp>raw <b>verbatim</b> *stars*</xmp><p>tail para</p>""",
+    // character reference torture in text and attributes
+    """<p><a href="/q?a=1&amp=2&ampx=3&not=4&notin;=5" title="&copy 2020 &copyz">q</a></p>
+      |<p>&notit; &Notit; &CounterClockwiseContourIntegral; &#x1D49C; &#xD801; &#0; &#151; &ampamp</p>""".stripMargin,
+    // nested anchors with formatting spanning the implied close
+    """<a href="/1">one <b>two <a href="/2">three</a> four</b> five""",
+    // mis-nested blockquote/list with trailing unclosed everything
+    """<blockquote><p>q1<ul><li>x<blockquote>q2</p></ul> tail""")
 }
