@@ -55,7 +55,14 @@ object FrontierEngine {
       web: SyntheticWeb.Config = SyntheticWeb.Config(),
       /** stop after this many rounds (simulates a crash mid-crawl; resume
         * restarts from the last committed snapshot — a round boundary). */
-      maxRounds: Int = Int.MaxValue)
+      maxRounds: Int = Int.MaxValue,
+      /** politeness deferral (reference: fetch.ts:92-107 retry-seconds):
+        * when > 0, budget-deferred rows are stamped next_fetch_time =
+        * round + deferSeconds (logical clock = round number), so a host
+        * that exhausted its budget re-ranks BEHIND fresher same-priority
+        * work next round. 0 (BFS mode) keeps next_fetch_time untouched —
+        * the reference-exactness oracles pin that ordering. */
+      deferSeconds: Long = 0L)
 
   final case class RoundResult(
       fetched: DataFrame, // FetchedRow sans links
@@ -105,7 +112,10 @@ object FrontierEngine {
         col("parent_order"), col("link_pos"))
     val ranked = fresh.withColumn("host_rank", row_number().over(wHost))
     val budgeted = ranked.filter(col("host_rank") <= cfg.hostBudget)
-    val deferredByBudget = ranked.filter(col("host_rank") > cfg.hostBudget)
+    val deferredBase = ranked.filter(col("host_rank") > cfg.hostBudget)
+    val deferredByBudget = (if (cfg.deferSeconds > 0)
+      deferredBase.withColumn("next_fetch_time", lit(roundNo.toLong + cfg.deferSeconds))
+    else deferredBase)
       .select(frontierCols: _*).as[FrontierRow]
 
     // 4. global FIFO order index (distributed two-phase ranking) + cap
@@ -189,10 +199,19 @@ object FrontierEngine {
       taken = takenCount)
   }
 
+  /** Union-plan collapse interval for iterative crawls (see [[crawl]]). */
+  private val planCollapseEvery = 8
+
   private val frontierCols = Seq(
     col("url"), col("url_hash"), col("host"), col("depth"),
     col("parent_order"), col("link_pos"),
     col("priority"), col("next_fetch_time"))
+
+  /** A frontier row carrying its global FIFO order index. */
+  final case class IndexedRow(
+      url: String, url_hash: Long, host: String, depth: Int,
+      parent_order: Long, link_pos: Int,
+      priority: Double, next_fetch_time: Long, order_idx: Long)
 
   /** Distributed global FIFO index: range-partition by the FIFO key, then
     * local rank + broadcast prefix offsets — no single-partition window. */
@@ -201,39 +220,48 @@ object FrontierEngine {
     withGlobalFifoIndexCounted(spark, df, startAt)._1
 
   /** Same, also returning the total row count (already known from the
-    * per-partition counts — callers must not pay another count() job). */
+    * per-partition counts — callers must not pay another count() job).
+    *
+    * This is the scheduling hot path (every frontier row, every round), so
+    * both passes stay TYPED: per-partition counts come from a one-row-per-
+    * partition mapPartitions (no groupBy shuffle — the range partitioning
+    * already did the only shuffle this operator needs), and the index
+    * append is a case-class map (Tungsten codegen encoders) instead of a
+    * per-row `Row.fromSeq(row.toSeq :+ v)` — the generic path allocated a
+    * Seq copy + object Row per row, the round-1 lesson's 32-thread scaling
+    * killer (BASELINE.md). */
   def withGlobalFifoIndexCounted(spark: SparkSession, df: DataFrame,
       startAt: Long): (DataFrame, Long) = {
     import spark.implicits._
     val parts = math.max(1, spark.sparkContext.defaultParallelism / 2)
-    val sorted = df
+    val sorted = df.select(frontierCols: _*).as[FrontierRow]
       .repartitionByRange(parts, col("parent_order"), col("link_pos"), col("url_hash"))
       .sortWithinPartitions(col("parent_order"), col("link_pos"), col("url_hash"))
-      .withColumn("__pid", spark_partition_id())
     val sortedCached = sorted.cache()
-    val counts = sortedCached.groupBy(col("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, startAt)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
-    }.tail.map { case (pid, cum) => pid -> cum }.toMap
-    val starts = counts.map { case (pid, n) => pid -> (offsets(pid) - n) }.toMap
+    val counts = sortedCached
+      .mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), n))
+      }
+      .collect().sortBy(_._1)
+    var acc = startAt
+    val starts = counts.map { case (pid, n) =>
+      val s = pid -> acc; acc += n; s
+    }.toMap
     val bStarts = spark.sparkContext.broadcast(starts)
-    val schema = sortedCached.schema
     val out = sortedCached.mapPartitions { it =>
-      var idx = -1L
-      var pid = -1
-      it.map { row =>
-        if (pid < 0) {
-          pid = row.getAs[Int]("__pid")
-          idx = bStarts.value.getOrElse(pid, 0L)
-        }
+      var idx = Long.MinValue
+      it.map { r =>
+        if (idx == Long.MinValue)
+          idx = bStarts.value.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
         val v = idx
         idx += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v)
+        IndexedRow(r.url, r.url_hash, r.host, r.depth, r.parent_order,
+          r.link_pos, r.priority, r.next_fetch_time, v)
       }
-    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
-      schema.add("order_idx", "long")))
-    (out.drop("__pid"), counts.map(_._2).sum)
+    }
+    (out.toDF(), counts.map(_._2).sum)
   }
 
   /** Drive a full crawl from seeds; returns (all fetched rows, final seen).
@@ -265,13 +293,28 @@ object FrontierEngine {
         // unioned in — at 10^10 URLs a per-round full rewrite/checkpoint of
         // the seen table would dominate every round's cost. `fetched`
         // deltas are already cached with flat lineage.
-        val newState = CrawlState(
+        var newState = CrawlState(
           frontier = r.newFrontier.toDF().localCheckpoint(true),
           seen = state.seen.union(r.seenDelta.localCheckpoint(true)),
           fetched = state.fetched.union(r.fetched),
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
         store.foreach(_.commit(spark, newState, r))
+        // the per-round delta checkpoints keep LINEAGE flat, but the union
+        // TREE itself still deepens one node per round — a 10^4-round crawl
+        // would accrete a 10^4-way union plan on the driver. Collapse it
+        // every K rounds: with a store, reload the state from the committed
+        // snapshot (a flat multi-path parquet scan); without one, cut the
+        // union into a single materialized leaf. O(seen) cost amortized
+        // over K rounds; plan size now O(K), independent of crawl length.
+        if (newState.round % planCollapseEvery == 0) {
+          newState = store.flatMap(_.loadLatest(spark)) match {
+            case Some(s) => s
+            case None => newState.copy(
+              seen = newState.seen.localCheckpoint(true),
+              fetched = newState.fetched.localCheckpoint(true))
+          }
+        }
         state = newState
         if (state.fetchedCount >= cfg.maxPages) continue = false
         if (state.round >= cfg.maxRounds) continue = false

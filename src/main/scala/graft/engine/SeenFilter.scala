@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * `DataFrameStatFunctions.bloomFilter` collects one filter to the driver;
   * at 10^10 URLs that's the bottleneck, so we build **per-bucket** filters
-  * with a custom [[Aggregator]] over the url-hash: frontier candidates are
-  * checked against only their bucket's filter (broadcast map, bucket =
-  * hash % buckets, so each filter stays small and the build is a normal
-  * partial-aggregated groupBy).
+  * with a custom [[Aggregator]] over the url-hash (bucket = hash % buckets,
+  * a normal partial-aggregated groupBy) and the filters STAY DISTRIBUTED:
+  * [[build]] returns a (bucket, bloom) DataFrame, never a driver-side map.
+  * [[split]] co-partitions candidates and filters on the bucket key with
+  * the same hash partitioner and probes inside `zipPartitions`, so each
+  * task materializes only the filters of its own buckets — at the 10^10
+  * sizing (~1526 buckets x 8 MiB) that is ONE 8 MiB filter per task instead
+  * of a ~12 GiB whole-map broadcast on every executor.
   *
   * Bloom answers "possibly seen" — false positives would *drop* URLs the
   * reference would crawl (SURVEY.md §7 hard parts), so the engine uses the
@@ -28,9 +32,10 @@ object SeenFilter {
     /** Size the filter from the actual seen-set cardinality: ~10 bits/item
       * at k=7 ⇒ <1% false positives (the default 64×2^16 bits saturates —
       * ~100% FP, dead-weight prefilter — past ~4M URLs). Buckets scale with
-      * the item count so each broadcast filter stays ≤ 2^26 bits (8 MiB);
-      * at 10^10 URLs that is ~1526 buckets of 8 MiB — each executor only
-      * needs the buckets its partition probes. */
+      * the item count so each bucket's filter stays ≤ 2^26 bits (8 MiB);
+      * at 10^10 URLs that is ~1526 buckets of 8 MiB, and because [[split]]
+      * probes in bucket-co-partitioned tasks, per-task filter memory is one
+      * bucket (8 MiB) — independent of total seen-set size. */
     def forCount(seenCount: Long): Params = {
       val totalBits = math.max(1L << 16, seenCount * 10)
       val maxBitsPerBucket = 1L << 26
@@ -83,33 +88,57 @@ object SeenFilter {
   }
 
   /** Build per-bucket Bloom filters from a seen table's `url_hash` column.
-    * Returns bucket → filter bytes (small: buckets × bits/8). */
-  def build(spark: SparkSession, seen: DataFrame, p: Params): Map[Int, Array[Byte]] = {
-    import spark.implicits._
+    * Returns a DISTRIBUTED (bucket INT, bloom BINARY) DataFrame — at 10^10
+    * URLs the filter set is ~12 GiB and must never be collected or
+    * broadcast whole. */
+  def build(spark: SparkSession, seen: DataFrame, p: Params): DataFrame = {
     val agg = udaf(new BloomAgg(p.bitsPerBucket, p.k))
     seen.select(pmod(col("url_hash"), lit(p.buckets)).cast("int").as("bucket"),
         col("url_hash"))
       .groupBy(col("bucket"))
       .agg(agg(col("url_hash")).as("bloom"))
-      .as[(Int, Array[Byte])]
-      .collect()
-      .toMap
   }
 
   /** Prefilter: keep candidate rows whose hash is NOT possibly-seen, plus
-    * (separately) the possibly-seen rows for exact confirmation. */
-  def split(spark: SparkSession, candidates: DataFrame, filters: Map[Int, Array[Byte]],
+    * (separately) the possibly-seen rows for exact confirmation.
+    *
+    * Candidates and filters are co-partitioned on `bucket = url_hash %
+    * buckets` with the same [[org.apache.spark.HashPartitioner]] (Int keys
+    * hash to themselves, so partition i holds exactly bucket-i rows when
+    * numPartitions == buckets) and probed inside `zipPartitions`: each task
+    * loads only its own buckets' filters into a local map. A joined-row
+    * approach would embed the 8 MiB bloom bytes into every candidate row;
+    * a broadcast would ship ALL buckets to every executor — this ships each
+    * filter exactly once over the wire and bounds per-task filter memory at
+    * ceil(buckets / numPartitions) x bits/8 (= one filter at full sizing).
+    * RDD zipPartitions is the one place the engine drops below the
+    * DataFrame API: Catalyst has no co-partitioned-zip operator, and both
+    * downstream filters re-read the persisted co-partitioning shuffle, not
+    * the upstream plan. */
+  def split(spark: SparkSession, candidates: DataFrame, filters: DataFrame,
       p: Params): (DataFrame, DataFrame) = {
-    val b = spark.sparkContext.broadcast(filters)
     val bits = p.bitsPerBucket
     val k = p.k
     val buckets = p.buckets
-    val maybeSeen = udf { (h: Long) =>
-      val bucket = java.lang.Math.floorMod(h, buckets.toLong).toInt
-      b.value.get(bucket).exists(f => mightContain(f, h, bits, k))
+    val schema = candidates.schema
+    val hashIdx = schema.fieldIndex("url_hash")
+    val part = new org.apache.spark.HashPartitioner(buckets)
+    val candKv = candidates.rdd
+      .map(r => (java.lang.Math.floorMod(r.getLong(hashIdx), buckets.toLong).toInt, r))
+      .partitionBy(part)
+    val filtKv = filters.rdd
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      .partitionBy(part)
+    val flagged = candKv.zipPartitions(filtKv, preservesPartitioning = true) {
+      (cit, fit) =>
+        val local = new java.util.HashMap[Int, Array[Byte]]()
+        fit.foreach { case (b, f) => local.put(b, f) }
+        cit.map { case (b, row) =>
+          val f = local.get(b)
+          (row, f != null && mightContain(f, row.getLong(hashIdx), bits, k))
+        }
     }
-    val flagged = candidates.withColumn("__maybe", maybeSeen(col("url_hash")))
-    (flagged.filter(!col("__maybe")).drop("__maybe"),
-      flagged.filter(col("__maybe")).drop("__maybe"))
+    (spark.createDataFrame(flagged.filter(!_._2).map(_._1), schema),
+      spark.createDataFrame(flagged.filter(_._2).map(_._1), schema))
   }
 }

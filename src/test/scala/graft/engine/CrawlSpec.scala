@@ -152,6 +152,28 @@ class CrawlSpec extends AnyFunSuite {
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
 
+  test("bloom probe is bucket-co-partitioned: no full filter-set broadcast") {
+    import spark.implicits._
+    val seenDf = (0L until 2000L)
+      .map(i => (graft.core.UrlNorm.urlHash(s"http://h$i.example/"), s"u$i"))
+      .toDF("url_hash", "url")
+    val params = SeenFilter.Params(buckets = 16, bitsPerBucket = 1 << 14)
+    val filters = SeenFilter.build(spark, seenDf, params)
+    // build stays distributed — a DataFrame of (bucket, bloom), never a map
+    assert(filters.columns.toSeq == Seq("bucket", "bloom"))
+    val cand = (0L until 1000L).map(i => Tuple1(graft.core.UrlNorm.urlHash(s"http://c$i/")))
+      .toDF("url_hash")
+    val (fresh, maybe) = SeenFilter.split(spark, cand, filters, params)
+    // the probe runs as a zip of two shuffles co-partitioned on the bucket
+    // key — one partition per bucket, and NO broadcast anywhere in the
+    // lineage (per-task filter memory = its own buckets only)
+    val lineage = fresh.rdd.toDebugString
+    assert(fresh.rdd.getNumPartitions == params.buckets)
+    assert(lineage.contains("ZippedPartitionsRDD"), lineage)
+    assert(!lineage.toLowerCase.contains("broadcast"), lineage)
+    assert(fresh.count() + maybe.count() == 1000)
+  }
+
   test("budget window ranks by (priority, next_fetch_time) with FIFO tiebreak") {
     import spark.implicits._
     // one host, budget 2: the two best (priority, nft) rows must be taken,
@@ -175,6 +197,46 @@ class CrawlSpec extends AnyFunSuite {
       s"took $fetchedUrls")
     val deferred = r.newFrontier.collect().map(_.url).toSet
     assert(deferred.contains(SyntheticWeb.pageUrl(0, 1)))
+  }
+
+  test("deferSeconds: a budget-deferred row re-ranks behind fresher work") {
+    import spark.implicits._
+    def row(p: Int, pos: Int, parentOrder: Long) = {
+      val u = SyntheticWeb.pageUrl(0, p)
+      FrontierEngine.FrontierRow(u, graft.core.UrlNorm.urlHash(u), "host0.example",
+        0, parentOrder, pos, 0.0, 0L)
+    }
+    val emptySeen = Seq.empty[(Long, String)].toDF("url_hash", "url")
+    val cfg = FrontierEngine.Config(maxDepth = 0, maxPages = 100, hostBudget = 1,
+      web = web, deferSeconds = 2L)
+    // round 1: A (FIFO first) taken, B deferred and stamped nft = 1 + 2 = 3
+    val r1 = FrontierEngine.round(spark, Seq(row(1, 0, 0L), row(2, 1, 0L)).toDS(),
+      emptySeen, 1, 0L, cfg)
+    assert(r1.fetched.select("url").as[String].collect().toSeq ==
+      Seq(SyntheticWeb.pageUrl(0, 1)))
+    val deferred = r1.newFrontier.collect()
+    assert(deferred.map(_.url).toSeq == Seq(SyntheticWeb.pageUrl(0, 2)))
+    assert(deferred.head.next_fetch_time == 3L)
+    // round 2: C arrives fresh (nft=0, LATER FIFO position) — it must beat
+    // the deferred B (nft=3) under the (priority, next_fetch_time) rank
+    val frontier2 = r1.newFrontier.union(Seq(row(3, 0, 5L)).toDS())
+    val r2 = FrontierEngine.round(spark, frontier2,
+      emptySeen.union(r1.seenDelta), 2, 1L, cfg)
+    assert(r2.fetched.select("url").as[String].collect().toSeq ==
+      Seq(SyntheticWeb.pageUrl(0, 3)))
+    assert(r2.newFrontier.collect().map(_.url).toSeq ==
+      Seq(SyntheticWeb.pageUrl(0, 2))) // B deferred again, nft re-stamped
+  }
+
+  test("long crawls keep a bounded plan: union tree collapses every K rounds") {
+    // budget 1 on one host => one page per round => ~28 rounds; without the
+    // collapse the seen plan accretes one Union node per round
+    val cfg = FrontierEngine.Config(maxDepth = 31, maxPages = 28, hostBudget = 1,
+      sameHostOnly = true, respectRobots = false, saltBuckets = 2, web = web)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(1), cfg, None)
+    assert(fetched.count() == 28)
+    val unions = "\\bUnion\\b".r.findAllIn(seen.queryExecution.logical.toString).size
+    assert(unions <= 8, s"seen plan carries $unions Union nodes after 28 rounds")
   }
 
   test("snapshot expiry compacts deltas and preserves reads (TTL sweep analog)") {
