@@ -166,6 +166,65 @@ object ComplianceQueries {
                |             + CASE WHEN cdn THEN 10 ELSE 0 END
                |             + CASE WHEN sw THEN 15 ELSE 0 END)) AS BIGINT) AS score,
                |       'F' AS grade
-               |FROM ${OracleMat.src("q81")} ORDER BY url""".stripMargin))
+               |FROM ${OracleMat.src("q81")} ORDER BY url""".stripMargin)),
+
+    // benchmark_performance (:6480-6620): dedicated stand-in. Metrics are
+    // deterministic per-url draws over the reference's simulated ranges
+    // (PageTools.benchmarkStandIn); the performance score (100 - LCP/30,
+    // floored at 0, :6514), the A-F grade bands on the UNROUNDED scores
+    // (:6521-6527), the overall average (:6611-6616, averaging the
+    // unrounded performance leg), and the four recommendation triggers
+    // (:6552-6585) are all recomputed by the DuckDB oracle
+    QuerySpec("q85_benchmark_perf", (s, _) => {
+      import s.implicits._
+      val kernel = pagesWithScheme(s).as[(String, String)].map { case (u, _) =>
+        val b = PageTools.benchmarkStandIn(u)
+        (u, b.fcpMs, b.lcpMs, b.clsX1000, b.totalRequests, b.totalSizeX100,
+          b.acc, b.bp, b.seo)
+      }.toDF("url", "fcp_ms", "lcp_ms", "cls_x1000", "total_requests",
+        "total_size_x100", "acc", "bp", "seo")
+      val perf = greatest(lit(0.0), lit(100.0) - col("lcp_ms") / lit(30.0))
+      def grade(c: org.apache.spark.sql.Column) =
+        when(c >= 90, "A").when(c >= 80, "B").when(c >= 70, "C")
+          .when(c >= 60, "D").otherwise("F")
+      OracleMat(s, "q85")(kernel)
+        .withColumn("score_performance", round(perf).cast("long"))
+        .withColumn("score_overall",
+          round((perf + col("acc") + col("bp") + col("seo")) / lit(4.0)).cast("long"))
+        .withColumn("grade_performance", grade(perf))
+        .withColumn("grade_accessibility", grade(col("acc")))
+        .withColumn("grade_best_practices", grade(col("bp")))
+        .withColumn("grade_seo", grade(col("seo")))
+        .withColumn("n_recommendations",
+          (when(col("lcp_ms") > 4000, 1).otherwise(0) +
+            when(col("cls_x1000") > 250, 1).otherwise(0) +
+            when(col("total_size_x100") > 300, 1).otherwise(0) +
+            when(col("total_requests") > 50, 1).otherwise(0)).cast("long"))
+        .orderBy("url")
+    }, Some(s"""WITH k AS (
+               |  SELECT *, greatest(0.0, 100.0 - lcp_ms / 30.0) AS perf
+               |  FROM ${OracleMat.src("q85")})
+               |SELECT url, fcp_ms, lcp_ms, cls_x1000, total_requests,
+               |       total_size_x100, acc, bp, seo,
+               |       CAST(round(perf) AS BIGINT) AS score_performance,
+               |       CAST(round((perf + acc + bp + seo) / 4.0) AS BIGINT) AS score_overall,
+               |       CASE WHEN perf >= 90 THEN 'A' WHEN perf >= 80 THEN 'B'
+               |            WHEN perf >= 70 THEN 'C' WHEN perf >= 60 THEN 'D'
+               |            ELSE 'F' END AS grade_performance,
+               |       CASE WHEN acc >= 90 THEN 'A' WHEN acc >= 80 THEN 'B'
+               |            WHEN acc >= 70 THEN 'C' WHEN acc >= 60 THEN 'D'
+               |            ELSE 'F' END AS grade_accessibility,
+               |       CASE WHEN bp >= 90 THEN 'A' WHEN bp >= 80 THEN 'B'
+               |            WHEN bp >= 70 THEN 'C' WHEN bp >= 60 THEN 'D'
+               |            ELSE 'F' END AS grade_best_practices,
+               |       CASE WHEN seo >= 90 THEN 'A' WHEN seo >= 80 THEN 'B'
+               |            WHEN seo >= 70 THEN 'C' WHEN seo >= 60 THEN 'D'
+               |            ELSE 'F' END AS grade_seo,
+               |       CAST((CASE WHEN lcp_ms > 4000 THEN 1 ELSE 0 END +
+               |             CASE WHEN cls_x1000 > 250 THEN 1 ELSE 0 END +
+               |             CASE WHEN total_size_x100 > 300 THEN 1 ELSE 0 END +
+               |             CASE WHEN total_requests > 50 THEN 1 ELSE 0 END)
+               |            AS BIGINT) AS n_recommendations
+               |FROM k ORDER BY url""".stripMargin))
   )
 }

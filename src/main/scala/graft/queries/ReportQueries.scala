@@ -163,6 +163,82 @@ object ReportQueries {
                |  AS report_md
                |FROM ${OracleMat.src("q68")} ORDER BY url""".stripMargin)),
 
+    // generate_reports html/json render variants (server.ts:6844-6910; q68
+    // pins the markdown render). Same deterministic report content; the
+    // reportId is a per-url hash stand-in for the reference's random id and
+    // generatedAt is the injected epoch clock. Both render templates are
+    // string-assembled in the query layer so the DuckDB oracle rebuilds
+    // them character-for-character (structural template: header block,
+    // overall score line, data section, recommendations list; the
+    // reference's static CSS block is elided from the stand-in)
+    QuerySpec("q86_report_renders", (s, _) => {
+      import s.implicits._
+      val kernel = okPages(s).as[(String, String)].map { case (u, h) =>
+        val doc = graft.core.Html.parse(h)
+        val v = PageTools.validateHtml(doc)
+        val t = PageTools.detectTracking(h, doc)
+        val vs = PageTools.scanVulnerabilities(h, doc, u)
+        val rid = "report_" + java.lang.Math.floorMod(
+          graft.core.UrlNorm.xxh64(u.getBytes("UTF-8"), 86L), 100000000L)
+        (u, rid, v.score, v.h1Count, vs.score, vs.inlineScripts, t.privacyScore)
+      }.toDF("url", "report_id", "html_score", "h1_count", "security_score",
+        "inline_scripts", "privacy_score")
+      val overall = round(
+        (col("html_score") + col("security_score") + col("privacy_score")) / lit(3.0))
+        .cast("long")
+      val recsLi = concat(
+        when(col("h1_count") === 0, "<li>Add an H1 heading</li>").otherwise(""),
+        when(col("inline_scripts") > 0,
+          "<li>Move inline scripts to external files</li>").otherwise(""),
+        when(col("privacy_score") < 80, "<li>Reduce tracking scripts</li>").otherwise(""))
+      OracleMat(s, "q86")(kernel)
+        .withColumn("overall_score", overall)
+        .withColumn("report_json", concat(
+          lit("{\n  \"reportId\": \""), col("report_id"),
+          lit("\",\n  \"url\": \""), col("url"),
+          lit("\",\n  \"generatedAt\": \"1970-01-01T00:00:00.000Z\",\n  \"type\": \"Comprehensive Analysis Report\",\n  \"overallScore\": "),
+          col("overall_score").cast("string"), lit("\n}")))
+        .withColumn("report_html", concat(
+          lit("<!DOCTYPE html>\n<html>\n<head>\n    <title>Comprehensive Analysis Report</title>\n</head>\n<body>\n    <div class=\"header\">\n        <h1>Comprehensive Analysis Report</h1>\n        <p><strong>URL:</strong> "),
+          col("url"),
+          lit("</p>\n        <p><strong>Generated:</strong> 1970-01-01T00:00:00.000Z</p>\n        <p class=\"score\">Overall Score: "),
+          col("overall_score").cast("string"),
+          lit("/100</p>\n    </div>\n    <div class=\"section recommendations\">\n        <h2>Recommendations</h2>\n        <ul>"),
+          recsLi,
+          lit("</ul>\n    </div>\n</body>\n</html>")))
+        .select("url", "report_id", "overall_score", "report_json", "report_html")
+        .orderBy("url")
+    }, Some(s"""WITH k AS (
+               |  SELECT *,
+               |         CAST(round((html_score + security_score + privacy_score) / 3.0)
+               |              AS BIGINT) AS overall_score,
+               |         (CASE WHEN h1_count = 0 THEN '<li>Add an H1 heading</li>' ELSE '' END ||
+               |          CASE WHEN inline_scripts > 0 THEN '<li>Move inline scripts to external files</li>' ELSE '' END ||
+               |          CASE WHEN privacy_score < 80 THEN '<li>Reduce tracking scripts</li>' ELSE '' END)
+               |           AS recs_li
+               |  FROM ${OracleMat.src("q86")})
+               |SELECT url, report_id, overall_score,
+               |  '{' || chr(10) || '  "reportId": "' || report_id || '",' || chr(10) ||
+               |  '  "url": "' || url || '",' || chr(10) ||
+               |  '  "generatedAt": "1970-01-01T00:00:00.000Z",' || chr(10) ||
+               |  '  "type": "Comprehensive Analysis Report",' || chr(10) ||
+               |  '  "overallScore": ' || CAST(overall_score AS VARCHAR) || chr(10) || '}'
+               |    AS report_json,
+               |  '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+               |  '    <title>Comprehensive Analysis Report</title>' || chr(10) || '</head>' || chr(10) ||
+               |  '<body>' || chr(10) || '    <div class="header">' || chr(10) ||
+               |  '        <h1>Comprehensive Analysis Report</h1>' || chr(10) ||
+               |  '        <p><strong>URL:</strong> ' || url || '</p>' || chr(10) ||
+               |  '        <p><strong>Generated:</strong> 1970-01-01T00:00:00.000Z</p>' || chr(10) ||
+               |  '        <p class="score">Overall Score: ' || CAST(overall_score AS VARCHAR) || '/100</p>' || chr(10) ||
+               |  '    </div>' || chr(10) ||
+               |  '    <div class="section recommendations">' || chr(10) ||
+               |  '        <h2>Recommendations</h2>' || chr(10) ||
+               |  '        <ul>' || recs_li || '</ul>' || chr(10) ||
+               |  '    </div>' || chr(10) || '</body>' || chr(10) || '</html>'
+               |    AS report_html
+               |FROM k ORDER BY url""".stripMargin)),
+
     // embedding-cosine near-dup at a realistic 0.999 threshold. The corpus
     // has no natural near-dups (max pairwise cosine ~0.44), so the query
     // plants them: every vector gets a deterministic clone (vec_id+10^6,

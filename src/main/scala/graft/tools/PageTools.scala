@@ -475,6 +475,32 @@ object PageTools {
     }
   }
 
+  // ---------------- benchmark_performance stand-in (:6480-6620) ----------
+  /** The reference's benchmark_performance simulates every metric with
+    * Math.random() inside the documented ranges (server.ts:6485-6510); the
+    * stand-in draws the same ranges deterministically from per-url salted
+    * hashes. The score/grade/recommendation arithmetic (:6513-6585) is
+    * left to the query layer so the DuckDB oracle recomputes it. Fractional
+    * metrics are surfaced as scaled integers (cls x1000, MB x100) per the
+    * oracle-parity conventions. */
+  final case class BenchmarkPerf(fcpMs: Int, lcpMs: Int, clsX1000: Int,
+      totalRequests: Int, totalSizeX100: Int, acc: Int, bp: Int, seo: Int)
+
+  def benchmarkStandIn(url: String): BenchmarkPerf = {
+    val bytes = url.getBytes("UTF-8")
+    def in(salt: Long, lo: Int, span: Int): Int =
+      lo + java.lang.Math.floorMod(UrlNorm.xxh64(bytes, salt), span.toLong).toInt
+    BenchmarkPerf(
+      fcpMs = in(1, 800, 1200), // 0.8-2.0s (:6487)
+      lcpMs = in(2, 1200, 1800), // 1.2-3.0s (:6488)
+      clsX1000 = in(3, 0, 300), // 0-0.3 (:6490)
+      totalRequests = in(4, 25, 50), // (:6495)
+      totalSizeX100 = in(5, 150, 300), // 1.5-4.5 MB (:6496)
+      acc = in(6, 85, 15), // (:6516)
+      bp = in(7, 80, 20), // (:6517)
+      seo = in(8, 75, 25)) // (:6518)
+  }
+
   // ---------------- check_privacy_policy checklist (:5839-5990) ----------
   /** Real parts of check_privacy_policy: the privacy/terms/cookie link
     * harvest (:5865-5893), consent selectors (:5896-5903). The GDPR/CCPA
