@@ -62,7 +62,14 @@ object FrontierEngine {
         * that exhausted its budget re-ranks BEHIND fresher same-priority
         * work next round. 0 (BFS mode) keeps next_fetch_time untouched —
         * the reference-exactness oracles pin that ordering. */
-      deferSeconds: Long = 0L)
+      deferSeconds: Long = 0L,
+      /** route the seen-membership test through the distributed Bloom
+        * prefilter ([[SeenFilter]], sized from the live seen count) before
+        * the exact anti-join. Semantics are identical by construction (no
+        * false negatives; every possibly-seen row is exactly confirmed) —
+        * at 10^10 URLs the prefilter drops the bulk of duplicate
+        * candidates before they reach the anti-join shuffle. */
+      bloomPrefilter: Boolean = false)
 
   final case class RoundResult(
       fetched: DataFrame, // FetchedRow sans links
@@ -98,9 +105,18 @@ object FrontierEngine {
         col("seq.priority").as("priority"),
         col("seq.next_fetch_time").as("next_fetch_time"))
 
-    // 2. exact anti-join against the seen set (hash equi-join; the Bloom
-    //    prefilter is applied by the caller when the seen set is large)
-    val fresh = deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    // 2. seen-membership: exact anti-join on the 64-bit hash; with
+    //    bloomPrefilter the bucket-co-partitioned Bloom drops definite-fresh
+    //    rows first and only possibly-seen rows pay the anti-join shuffle
+    //    (positives are always exactly confirmed — no false drops)
+    val fresh =
+      if (cfg.bloomPrefilter && fetchedSoFar > 0) {
+        val p = SeenFilter.Params.forCount(math.max(fetchedSoFar, 1L))
+        val filters = SeenFilter.build(spark, seen, p)
+        val (definiteFresh, maybeSeen) = SeenFilter.split(spark, deduped, filters, p)
+        definiteFresh.union(
+          maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
+      } else deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
 
     // 3. per-host politeness budget: rank by (priority, next_fetch_time)
     //    with FIFO tiebreak, over the host key, PRE-salt (north rule). In

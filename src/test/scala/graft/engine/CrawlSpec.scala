@@ -152,6 +152,19 @@ class CrawlSpec extends AnyFunSuite {
     assert(maybe2.count() < 500) // <10% fp at this sizing
   }
 
+  test("bloom-prefiltered crawl is byte-identical to the exact path") {
+    // same crawl, seen-membership routed through the co-partitioned Bloom
+    // prefilter + exact confirm — ordering, statuses, text, and the final
+    // seen set must not change (no false negatives by construction)
+    val ocfg = CrawlOracle.Config(2, 120, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(2), ocfg)
+    val ecfg = FrontierEngine.Config(2, 120, 7, true, true, 4, web,
+      bloomPrefilter = true)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(2), ecfg)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    assert(seen.count() == oracle.seen.size)
+  }
+
   test("bloom probe is bucket-co-partitioned: no full filter-set broadcast") {
     import spark.implicits._
     val seenDf = (0L until 2000L)
