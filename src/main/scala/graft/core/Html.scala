@@ -527,39 +527,52 @@ object Html {
       n.parent = null
     }
 
-    /** (parent, index-or-append) for the appropriate insertion place. */
-    private def insertionPlace(target: Element): (Element, Int) = {
-      if (fosterParenting && TableIsh.contains(target.tag)) {
-        val ti = stack.lastIndexWhere(_.tag == "table")
-        if (ti < 0) return (body, -1)
-        val table = stack(ti)
-        val par = table.parent
-        if (par != null) (par, par.children.indexWhere(_ eq table))
-        else (stack(ti - 1), -1)
-      } else (target, -1)
+    /** (parent, index-or-append) for the foster-parenting insertion place
+      * (rare path: only reached when fosterParenting is on AND the target
+      * is a table container). */
+    private def fosterPlace: (Element, Int) = {
+      val ti = stack.lastIndexWhere(_.tag == "table")
+      if (ti < 0) return (body, -1)
+      val table = stack(ti)
+      val par = table.parent
+      if (par != null) (par, par.children.indexWhere(_ eq table))
+      else (stack(ti - 1), -1)
     }
 
+    // fosterParenting (a plain boolean) is checked FIRST: the hot path
+    // appends directly with no tuple allocation and no set lookup
     private def insertNodeAt(target: Element, n: Node): Unit = {
-      val (par, idx) = insertionPlace(target)
-      if (idx < 0) par.append(n)
-      else { n.parent = par; par.children.insert(idx, n) }
+      if (fosterParenting && TableIsh.contains(target.tag)) {
+        val (par, idx) = fosterPlace
+        if (idx < 0) par.append(n)
+        else { n.parent = par; par.children.insert(idx, n) }
+      } else target.append(n)
     }
 
     private def insertNode(n: Node): Unit = insertNodeAt(current, n)
 
     private def insertText(data: String): Unit = {
       if (data.isEmpty) return
-      val (par, idx) = insertionPlace(current)
-      val prev: Node =
-        if (idx < 0) { if (par.children.nonEmpty) par.children.last else null }
-        else if (idx > 0) par.children(idx - 1)
-        else null
-      prev match {
-        case t: Text => t.data += data
-        case _ =>
-          val t = new Text(data)
-          if (idx < 0) par.append(t)
-          else { t.parent = par; par.children.insert(idx, t) }
+      val target = current
+      if (fosterParenting && TableIsh.contains(target.tag)) {
+        val (par, idx) = fosterPlace
+        val prev: Node =
+          if (idx < 0) { if (par.children.nonEmpty) par.children.last else null }
+          else if (idx > 0) par.children(idx - 1)
+          else null
+        prev match {
+          case t: Text => t.data += data
+          case _ =>
+            val t = new Text(data)
+            if (idx < 0) par.append(t)
+            else { t.parent = par; par.children.insert(idx, t) }
+        }
+      } else {
+        val cs = target.children
+        if (cs.nonEmpty) cs(cs.length - 1) match {
+          case t: Text => t.data += data
+          case _ => target.append(new Text(data))
+        } else target.append(new Text(data))
       }
     }
 
@@ -644,6 +657,18 @@ object Html {
     // ---- adoption agency ----
 
     private def adoptionAgency(subject: String): Unit = {
+      // fast path for the well-formed close: the subject element is both
+      // the current node and the newest formatting entry — the full
+      // algorithm reduces to pop + remove (no furthest block can exist
+      // above the top of the stack)
+      if (afe.nonEmpty && current.tag == subject) {
+        val lastE = afe(afe.length - 1)
+        if ((lastE.el ne null) && (lastE.el eq current)) {
+          afe.remove(afe.length - 1)
+          stack.remove(stack.length - 1)
+          return
+        }
+      }
       if (current.tag == subject && afeIndexOf(current) < 0) { pop(); return }
       var outer = 0
       while (outer < 8) {
@@ -874,8 +899,13 @@ object Html {
 
     private def bodyText(data: String): Unit = {
       if (data.isEmpty) return
-      val m = mode
-      if ((m == MTable || m == MTbody || m == MRow) && !isRawCurrent) {
+      // the pending-table-characters algorithm matters exactly when the
+      // CURRENT node is a table container (foster-insertion only triggers
+      // on table-ish targets anyway) — no derived-mode walk needed here
+      val t = current.tag
+      val tableIsh = t.length <= 5 && (t == "table" || t == "tbody" ||
+        t == "thead" || t == "tfoot" || t == "tr")
+      if (tableIsh) {
         if (data.forall(c => c == ' ' || c == '\t' || c == '\n' || c == '\f'))
           insertText(data)
         else {
@@ -888,11 +918,6 @@ object Html {
         reconstructAfe()
         insertText(data)
       }
-    }
-
-    private def isRawCurrent: Boolean = {
-      val t = current.tag
-      t == "script" || t == "style" || t == "title" || t == "textarea"
     }
 
     // ---- body phase: start tags ----
