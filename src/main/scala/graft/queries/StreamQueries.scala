@@ -69,6 +69,16 @@ object StreamQueries {
               |       max(end_ms - start_ms) AS longest_ms
               |FROM closed GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // streaming exact dedup: stateful dropDuplicates over the document
+    // stream (keep-first ingest dedup). STRONG oracle: the emitted distinct
+    // hash set must equal DuckDB's batch SELECT DISTINCT md5(text),
+    // independent of file/batch arrival order.
+    QuerySpec("q87_stream_dedup", (s, dir) => {
+      val q = s"dedup${counter.incrementAndGet()}"
+      Streams.streamDedup(s, stage(dir, "documents"), q)
+    }, Some("""SELECT DISTINCT md5(text) AS content_hash
+              |FROM documents ORDER BY content_hash""".stripMargin)),
+
     // multimodal: binary media column → batched stub-decode + features;
     // per-format rollup recomputed by the oracle from materialized rows
     QuerySpec("q63_multimodal", (s, _) => {

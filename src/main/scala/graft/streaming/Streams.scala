@@ -52,6 +52,29 @@ object Streams {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Streaming exact dedup: stateful dropDuplicates on the content hash
+    * over a parquet stream — the keep-first ingest dedup a training-data
+    * pipeline runs continuously as documents arrive. State is one entry
+    * per distinct hash in the state store; at 100 TB scale the state is
+    * bounded with `dropDuplicatesWithinWatermark` over an ingest-time
+    * column (the synthetic documents table carries no event time, so the
+    * unbounded form is exercised here). Output is the distinct hash set —
+    * order-independent, so the batch oracle (SELECT DISTINCT md5(text))
+    * pins it exactly regardless of file-arrival order. */
+  def streamDedup(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .dropDuplicates("content_hash")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).select("content_hash").orderBy("content_hash")
+  }
+
   /** Gap-based sessionization with mapGroupsWithState (processing-time
     * batch drive; state = open session per user). */
   def sessionize(spark: SparkSession, inputDir: String, queryName: String,
