@@ -338,7 +338,7 @@ object Html {
         val el = new Element(tag)
         attrs.foreach { case (k, v) => el.putAttr(k, v) }
         stack.last.append(el)
-        if (!selfClosing) stack += el
+        if (!selfClosing && stack.length < 512) stack += el
       case TClose(tag) =>
         val idx = stack.lastIndexWhere(_.tag == tag)
         if (idx > 0) stack.remove(idx, stack.length - idx)
@@ -582,10 +582,17 @@ object Html {
       el
     }
 
+    // Open-elements depth cap: a crawl-scale parser must not let an
+    // adversarial 100k-deep <div><div>... page stack-overflow the executor
+    // (tree recursion in text()/render is bounded by DOM depth). parse5 has
+    // no such cap — divergence is confined to >512-deep pages, which the
+    // reference would crash on rather than extract.
+    private val MaxOpenDepth = 512
+
     private def insertElement(tag: String, attrs: Seq[(String, String)]): Element = {
       val el = mkElement(tag, attrs)
       insertNode(el)
-      stack += el
+      if (stack.length < MaxOpenDepth) stack += el
       el
     }
 

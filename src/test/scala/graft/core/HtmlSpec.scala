@@ -111,4 +111,16 @@ class HtmlSpec extends AnyFunSuite {
     val doc = Html.parse("<p>a<!-- hidden -->b</p>")
     assert(doc.body.text() == "ab")
   }
+
+  test("adversarial 100k-deep nesting cannot stack-overflow extraction") {
+    // open-elements depth is capped at 512: tree depth stays bounded, so
+    // the recursive text()/descendants/markdown walks survive pages a
+    // crawl at scale WILL eventually hit (the reference would crash)
+    val deep = "<div>" * 100000 + "payload text" + "</div>" * 100000
+    val doc = Html.parse(deep)
+    assert(doc.body.text().contains("payload text"))
+    val e = Extract.extract(deep, "http://deep.example/", 0L,
+      Extract.Options(format = "markdown"))
+    assert(e.content.nonEmpty)
+  }
 }
