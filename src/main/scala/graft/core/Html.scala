@@ -395,6 +395,7 @@ object Html {
   private final val MCell = 4
   private final val MCaption = 5
   private final val MColgroup = 6
+  private final val MSelect = 7
 
   private final class AfeEntry(var el: Element) // el == null => marker
 
@@ -777,6 +778,7 @@ object Html {
       var i = stack.length - 1
       while (i >= 0) {
         stack(i).tag match {
+          case "select" => return MSelect
           case "td" | "th" => return MCell
           case "tr" => return MRow
           case "tbody" | "thead" | "tfoot" => return MTbody
@@ -789,6 +791,20 @@ object Html {
         i -= 1
       }
       MBody
+    }
+
+    /** Pop until the nearest <select> is popped ("in select" recovery). */
+    private def popToSelect(): Unit = popUntilTag("select")
+
+    private def selectHasTableAncestor: Boolean = {
+      var i = stack.length - 1
+      while (i >= 0) {
+        val t = stack(i).tag
+        if (t == "table") return true
+        if (t == "select") () // keep walking below the select
+        i -= 1
+      }
+      false
     }
 
     private def clearToTableContext(): Unit =
@@ -922,7 +938,11 @@ object Html {
           fosterParenting = false
         }
       } else {
-        reconstructAfe()
+        // in-select text inserts without reconstruction (for text inside an
+        // <option> the reconstruction is a no-op there anyway: nothing can
+        // pop a formatting element inside a select, where blocks are
+        // ignored)
+        if (t != "select" && t != "optgroup") reconstructAfe()
         insertText(data)
       }
     }
@@ -930,6 +950,7 @@ object Html {
     // ---- body phase: start tags ----
 
     private def startTag(t: TOpen): Unit = mode match {
+      case MSelect => startInSelect(t)
       case MTable => startInTable(t)
       case MTbody => startInTbody(t)
       case MRow => startInRow(t)
@@ -947,6 +968,43 @@ object Html {
         case _ => inBodyStart(t)
       }
       case _ => inBodyStart(t)
+    }
+
+    // "in select" (spec 13.2.6.4.16): only option/optgroup/script content
+    // is legal; other start tags are IGNORED (their text still flows into
+    // the select), a nested <select> acts as </select>, input/keygen/
+    // textarea close the select and reprocess, and table tags close it
+    // when a table is open below ("in select in table").
+    private def startInSelect(t: TOpen): Unit = t.tag match {
+      case "option" =>
+        if (current.tag == "option") pop()
+        insertElement("option", t.attrs)
+      case "optgroup" =>
+        if (current.tag == "option") pop()
+        if (current.tag == "optgroup") pop()
+        insertElement("optgroup", t.attrs)
+      case "select" => popToSelect()
+      case "input" | "keygen" | "textarea" =>
+        popToSelect(); startTag(t)
+      case "script" | "style" | "title" => inBodyStart(t)
+      case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" |
+           "td" | "th" =>
+        if (selectHasTableAncestor) { popToSelect(); startTag(t) }
+      case _ => () // parse error: ignore
+    }
+
+    private def endInSelect(tag: String): Unit = tag match {
+      case "select" => popToSelect()
+      case "option" =>
+        if (current.tag == "option") pop()
+      case "optgroup" =>
+        if (current.tag == "option" && stack.length >= 2 &&
+          stack(stack.length - 2).tag == "optgroup") { pop(); pop() }
+        else if (current.tag == "optgroup") pop()
+      case "caption" | "table" | "tbody" | "tfoot" | "thead" | "tr" |
+           "td" | "th" =>
+        if (selectHasTableAncestor) { popToSelect(); endTag(tag) }
+      case _ => () // parse error: ignore
     }
 
     private def startInTable(t: TOpen): Unit = t.tag match {
@@ -1051,6 +1109,9 @@ object Html {
           if (inButtonScope("p")) closeP()
           val el = insertElement(tag, t.attrs)
           skipNewlineIn = el
+        case "plaintext" =>
+          if (inButtonScope("p")) closeP()
+          insertElement("plaintext", t.attrs) // tokenizer delivers the rest raw
         case "form" =>
           if (formPtr == null) {
             if (inButtonScope("p")) closeP()
@@ -1165,6 +1226,7 @@ object Html {
     // ---- body phase: end tags ----
 
     private def endTag(tag: String): Unit = mode match {
+      case MSelect => endInSelect(tag)
       case MTable => endInTable(tag)
       case MTbody => endInTbody(tag)
       case MRow => endInRow(tag)
@@ -1338,6 +1400,11 @@ object Html {
           out += tok
           i = next
           tok match {
+            case TOpen("plaintext", _, _) if !xml =>
+              // PLAINTEXT state: the rest of the input is literal text —
+              // no tags, no entities, no way out (HTML spec 13.2.5.5)
+              if (i < n) out += TRaw(html.substring(i))
+              i = n
             case TOpen(tag, _, _) if !xml && RawSwallow.contains(tag) =>
               // swallow until a real close tag (`</tag` + ws|/|>|EOF)
               val idx = findRawClose(html, tag, i)

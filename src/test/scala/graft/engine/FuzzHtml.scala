@@ -105,7 +105,7 @@ object FuzzHtml {
       s"&#153; curly &#8212 dash", s"100&nbsp200 units", s"q &quotmarks&quot q",
       s"&; alone & bare &# num &#x hex", s"&ampamp; doubled ${w(1)}"))
 
-    private def block(depth: Int): String = rnd.nextInt(16) match {
+    private def block(depth: Int): String = rnd.nextInt(17) match {
       case 0 => s"<p>${w(3)} <p>${w(3)}" // unclosed p chain
       case 1 => s"<ul><li>${w(2)}<li>${w(2)}<li><${fmtTag()}>${w(2)}<li>${w(2)}</ul>"
       case 2 => s"<table><tr><td>${w(1)}<td>${w(1)}<tr><td>${w(1)}<td>${w(1)}</table>"
@@ -130,6 +130,8 @@ object FuzzHtml {
       case 13 => s"<table>${w(2)}<tr><td>${w(1)}</td></tr></table>" // foster-parented text
       case 14 => // list item left open w/ nested list malformation
         s"<ol><li>${w(2)}<ol><li>${w(1)}<li>${w(1)}</ol><li>${w(2)}</ol>"
+      case 15 => // select: unclosed options; stray tags ignored inside
+        s"""<p>${w(1)} <select name="s${rnd.nextInt(9)}"><option>${w(1)}<option>${w(1)}<div>${w(1)}</div><optgroup label="g"><option>${w(1)}</select> ${w(1)}</p>"""
       case _ if depth > 0 =>
         s"""<div class="m${rnd.nextInt(4)}">${block(depth - 1)}${block(depth - 1)}</div>"""
       case _ => s"<p>${w(4)}</p>"
@@ -206,5 +208,13 @@ object FuzzHtml {
     // nested anchors with formatting spanning the implied close
     """<a href="/1">one <b>two <a href="/2">three</a> four</b> five""",
     // mis-nested blockquote/list with trailing unclosed everything
-    """<blockquote><p>q1<ul><li>x<blockquote>q2</p></ul> tail""")
+    """<blockquote><p>q1<ul><li>x<blockquote>q2</p></ul> tail""",
+    // in-select rules: ignored tags keep their text, nested select closes,
+    // optgroup auto-close, input closes the select and reprocesses
+    """<p>pick <select name="s"><option>one<option selected>two</select> end</p>""",
+    """<select><div>div in select</div><option>opt</option></select><p>after</p>""",
+    """<select><optgroup label="g"><option>a<option>b</optgroup><option>c</select>""",
+    """<select><option>a<select><option>b</select><p>tail one</p>""",
+    """<p>x <select><option>o1<input name="i"> after-input</p>""",
+    """<table><tr><td><select><option>x</select></td></tr></table>""")
 }
