@@ -333,6 +333,7 @@ object Html {
     tokenize(xml, xml = true).foreach {
       case TText(d) => stack.last.append(new Text(decodeXmlEntities(d)))
       case TRaw(d) => stack.last.append(new Text(d))
+      case TCdata(d) => stack.last.append(new Text(d)) // CDATA is literal text
       case TComment(d) => stack.last.append(new Comment(d))
       case TOpen(tag, attrs, selfClosing) =>
         val el = new Element(tag)
@@ -849,6 +850,22 @@ object Html {
             data.startsWith("\n")) data = data.substring(1)
           skipNewlineIn = null
           if (data.nonEmpty) insertText(data)
+        case TCdata(d) =>
+          skipNewlineIn = null
+          if (bodyStarted && d.nonEmpty &&
+            stack.exists(e => e.tag == "svg" || e.tag == "math")) {
+            // foreign (svg/math) content: CDATA is literal text
+            insertText(d)
+          } else {
+            // HTML content: parse5 degrades `<![CDATA[` to a bogus comment
+            // ending at the FIRST '>' — anything after it inside our span
+            // (plus the spans's "]]>" tail) re-enters as ordinary text
+            val gt = d.indexOf('>')
+            if (gt >= 0) {
+              val rest = decodeEntities(d.substring(gt + 1) + "]]>")
+              if (!bodyStarted) headText(rest) else bodyText(rest)
+            }
+          }
         case TComment(d) =>
           skipNewlineIn = null
           insertNode(new Comment(d))
@@ -1351,6 +1368,10 @@ object Html {
   private[core] final case class TText(data: String) extends Token
   /** Raw-text / RCDATA content: entity handling already final. */
   private[core] final case class TRaw(data: String) extends Token
+  /** `<![CDATA[...]]>` span: text in foreign (svg/math) context, dropped
+    * in HTML context (the tree builder decides — the tokenizer here is a
+    * context-free pre-pass, unlike the spec's feedback loop). */
+  private[core] final case class TCdata(data: String) extends Token
   private[core] final case class TComment(data: String) extends Token
   private[core] final case class TOpen(tag: String, attrs: Seq[(String, String)],
       selfClosing: Boolean) extends Token
@@ -1376,6 +1397,11 @@ object Html {
           val end = html.indexOf("-->", lt + 4)
           val stop = if (end < 0) n else end
           out += TComment(html.substring(lt + 4, stop))
+          i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<![CDATA[", lt)) {
+          val end = html.indexOf("]]>", lt + 9)
+          val stop = if (end < 0) n else end
+          out += TCdata(html.substring(lt + 9, stop))
           i = if (end < 0) n else end + 3
         } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
           val end = html.indexOf('>', lt) // doctype / PI / bogus comment: skip

@@ -105,7 +105,7 @@ object FuzzHtml {
       s"&#153; curly &#8212 dash", s"100&nbsp200 units", s"q &quotmarks&quot q",
       s"&; alone & bare &# num &#x hex", s"&ampamp; doubled ${w(1)}"))
 
-    private def block(depth: Int): String = rnd.nextInt(17) match {
+    private def block(depth: Int): String = rnd.nextInt(18) match {
       case 0 => s"<p>${w(3)} <p>${w(3)}" // unclosed p chain
       case 1 => s"<ul><li>${w(2)}<li>${w(2)}<li><${fmtTag()}>${w(2)}<li>${w(2)}</ul>"
       case 2 => s"<table><tr><td>${w(1)}<td>${w(1)}<tr><td>${w(1)}<td>${w(1)}</table>"
@@ -132,6 +132,10 @@ object FuzzHtml {
         s"<ol><li>${w(2)}<ol><li>${w(1)}<li>${w(1)}</ol><li>${w(2)}</ol>"
       case 15 => // select: unclosed options; stray tags ignored inside
         s"""<p>${w(1)} <select name="s${rnd.nextInt(9)}"><option>${w(1)}<option>${w(1)}<div>${w(1)}</div><optgroup label="g"><option>${w(1)}</select> ${w(1)}</p>"""
+      case 16 => // inline svg icon (foreign content): self-closing shapes,
+        // title/desc text, optional CDATA text island
+        val cdata = if (rnd.nextBoolean()) s"<text><![CDATA[${w(1)} > ${w(1)}]]></text>" else ""
+        s"""<p>${w(1)} <svg viewBox="0 0 1${rnd.nextInt(9)} 10" class="ic${rnd.nextInt(4)}"><path d="M0 ${rnd.nextInt(9)}L5 5"/><circle cx="1" cy="1" r="${rnd.nextInt(5)}"/><title>${w(2)}</title>$cdata</svg> ${w(2)}</p>"""
       case _ if depth > 0 =>
         s"""<div class="m${rnd.nextInt(4)}">${block(depth - 1)}${block(depth - 1)}</div>"""
       case _ => s"<p>${w(4)}</p>"
@@ -216,5 +220,14 @@ object FuzzHtml {
     """<select><optgroup label="g"><option>a<option>b</optgroup><option>c</select>""",
     """<select><option>a<select><option>b</select><p>tail one</p>""",
     """<p>x <select><option>o1<input name="i"> after-input</p>""",
-    """<table><tr><td><select><option>x</select></td></tr></table>""")
+    """<table><tr><td><select><option>x</select></td></tr></table>""",
+    // foreign content (svg/math): self-closing shapes, svg title text,
+    // foreignObject html island, CDATA text, </p> breakout, MathML
+    """<p>before <svg viewBox="0 0 10 10" class="icon"><path d="M0 0L5 5"/><circle cx="1" cy="1" r="1"/></svg> after</p>""",
+    """<p>x <svg><title>icon title</title><desc>description</desc><rect/></svg> y</p>""",
+    """<svg><foreignObject><div>html island</div></foreignObject></svg><p>tail text</p>""",
+    """<p>a <svg><path d="M0 0"> b</p><p>next para</p>""",
+    """<p>E: <math><mi>x</mi><mo>+</mo><mn>1</mn></math> done</p>""",
+    """<svg><text><![CDATA[raw > cdata]]></text></svg><p>end cd</p>""",
+    """<p>naked <![CDATA[dropped > in html]]> cdata</p>""")
 }
