@@ -20,7 +20,7 @@ class SelectorGoldenSpec extends AnyFunSuite {
   private lazy val fuzzHtml: Map[String, String] =
     graft.engine.FuzzHtml.corpus(120).toMap
   private lazy val malHtml: Map[String, String] =
-    graft.engine.FuzzHtml.malformedCorpus(120).toMap
+    graft.engine.FuzzHtml.malformedCorpus(160).toMap
 
   private def htmlFor(url: String): String =
     if (url.startsWith("http://crafted.example/doc"))

@@ -44,7 +44,7 @@ object ExportFixtures {
     // malformed-HTML corpus (round 3): error-recovery differential — real
     // crawl HTML is mostly malformed, so the byte-identity claim must hold
     // through parse5's tree-construction recovery rules too
-    for ((url, html) <- FuzzHtml.malformedCorpus(120)) {
+    for ((url, html) <- FuzzHtml.malformedCorpus(160)) {
       val name = "mal_" + url.stripPrefix("http://malfuzz.example/") + ".html"
       java.nio.file.Files.writeString(outDir.resolve(name), html)
       manifest.append(s"$name\t$url\n")

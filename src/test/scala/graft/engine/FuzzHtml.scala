@@ -99,11 +99,20 @@ object FuzzHtml {
 
     private def fmtTag(): String = pick(Vector("b", "i", "em", "strong", "code", "u", "s", "small"))
 
-    private def badEntityText(): String = pick(Vector(
-      s"fish &amp chips ${w(1)}", s"&copy 2020 ${w(1)}", s"x &lt y &gt z",
-      s"${w(1)} &nosuch; ${w(1)}", s"${w(1)} &notit; tail", s"&#65 and &#x42 go",
-      s"&#153; curly &#8212 dash", s"100&nbsp200 units", s"q &quotmarks&quot q",
-      s"&; alone & bare &# num &#x hex", s"&ampamp; doubled ${w(1)}"))
+    private def badEntityText(): String = rnd.nextInt(3) match {
+      case 0 =>
+        // sampled from the real 2231-entity WHATWG table (multi-codepoint
+        // values, case-sensitive names, legacy forms included)
+        val n1 = pick(FuzzHtml.entityNames)
+        val n2 = pick(FuzzHtml.entityNames)
+        val n3 = pick(FuzzHtml.entityNames)
+        s"${w(1)} &$n1 x &$n2;${w(1)} &${n3}tail"
+      case _ => pick(Vector(
+        s"fish &amp chips ${w(1)}", s"&copy 2020 ${w(1)}", s"x &lt y &gt z",
+        s"${w(1)} &nosuch; ${w(1)}", s"${w(1)} &notit; tail", s"&#65 and &#x42 go",
+        s"&#153; curly &#8212 dash", s"100&nbsp200 units", s"q &quotmarks&quot q",
+        s"&; alone & bare &# num &#x hex", s"&ampamp; doubled ${w(1)}"))
+    }
 
     private def block(depth: Int): String = rnd.nextInt(18) match {
       case 0 => s"<p>${w(3)} <p>${w(3)}" // unclosed p chain
@@ -151,6 +160,17 @@ object FuzzHtml {
         "the one-hundred-character extraction threshold for all fuzz documents.</p>" + nl +
         "</main></body></html>")
     }
+  }
+
+  /** All entity names (semicolons stripped) from the WHATWG table shipped
+    * as a main resource — the fuzz draws real names so the differential
+    * covers the whole reference table, not a hand-picked subset. */
+  lazy val entityNames: Vector[String] = {
+    val in = getClass.getResourceAsStream("/html_entities.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val names = src.getLines().map(_.split("\t")(0).stripSuffix(";")).toVector.distinct
+    src.close()
+    names
   }
 
   /** The malformed corpus: n docs from seeds 5000..5000+n-1, plus crafted
