@@ -241,6 +241,20 @@ class CrawlSpec extends AnyFunSuite {
       Seq(SyntheticWeb.pageUrl(0, 2))) // B deferred again, nft re-stamped
   }
 
+  test("deferSeconds crawl converges: same page SET as BFS, no starvation") {
+    // deferral reorders WITHIN the schedule but must not starve any URL:
+    // a full crawl with deferral fetches exactly the BFS oracle's page set
+    val ocfg = CrawlOracle.Config(2, 150, 3, true, true, web)
+    val oracle = CrawlOracle.run(seeds(3), ocfg)
+    val ecfg = FrontierEngine.Config(2, 150, 3, true, true, 4, web,
+      deferSeconds = 3L)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(3), ecfg)
+    val engineUrls = fetched.select("url").collect().map(_.getString(0)).toSet
+    val oracleUrls = oracleRows(oracle).map(_._2).toSet
+    assert(engineUrls == oracleUrls)
+    assert(seen.count() == oracle.seen.size)
+  }
+
   test("long crawls keep a bounded plan: union tree collapses every K rounds") {
     // budget 1 on one host => one page per round => ~28 rounds; without the
     // collapse the seen plan accretes one Union node per round
