@@ -275,10 +275,12 @@ object Bench {
         // alternate which level sees the credit window first
         attempts += runAttempt(if (i % 2 == 0) Seq(32, 8) else Seq(8, 32))
         val a = attempts.last
-        // gate on the north-rule headline (frontier scheduling); the kernel
-        // control is reported per attempt but varies +-0.1 run-to-run even
-        // on a fresh host and must not burn extra driver wall-clock
-        done = a.schedEffBest >= 0.8
+        // gate on the north-rule headline (frontier scheduling) AND the
+        // extract leg — a throttled extract window must trigger a retry
+        // too, not just ride along. The kernel control is reported per
+        // attempt but varies +-0.1 run-to-run even on a fresh host and
+        // must not burn extra driver wall-clock.
+        done = a.schedEffBest >= 0.8 && a.extractEffBest >= 0.7
         i += 1
         if (!done && i < maxAttempts) Thread.sleep(cooldownSecs * 1000)
       }

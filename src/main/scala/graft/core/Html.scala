@@ -333,7 +333,7 @@ object Html {
     tokenize(xml, xml = true).foreach {
       case TText(d) => stack.last.append(new Text(decodeXmlEntities(d)))
       case TRaw(d) => stack.last.append(new Text(d))
-      case TCdata(d) => stack.last.append(new Text(d)) // CDATA is literal text
+      case TCdata(d, _) => stack.last.append(new Text(d)) // CDATA is literal text
       case TComment(d) => stack.last.append(new Comment(d))
       case TOpen(tag, attrs, selfClosing) =>
         val el = new Element(tag)
@@ -850,7 +850,7 @@ object Html {
             data.startsWith("\n")) data = data.substring(1)
           skipNewlineIn = null
           if (data.nonEmpty) insertText(data)
-        case TCdata(d) =>
+        case TCdata(d, terminated) =>
           skipNewlineIn = null
           if (bodyStarted && d.nonEmpty &&
             stack.exists(e => e.tag == "svg" || e.tag == "math")) {
@@ -858,12 +858,17 @@ object Html {
             insertText(d)
           } else {
             // HTML content: parse5 degrades `<![CDATA[` to a bogus comment
-            // ending at the FIRST '>' — anything after it inside our span
-            // (plus the spans's "]]>" tail) re-enters as ordinary text
+            // ending at the FIRST '>' — everything after it inside our span
+            // RE-ENTERS THE TOKENIZER (tags become elements, entities
+            // decode), plus the "]]>" tail ONLY when the tokenizer actually
+            // consumed one (a span truncated at EOF has no tail; appending
+            // a fabricated "]]>" would emit text parse5 never produces on
+            // truncated pages)
             val gt = d.indexOf('>')
             if (gt >= 0) {
-              val rest = decodeEntities(d.substring(gt + 1) + "]]>")
-              if (!bodyStarted) headText(rest) else bodyText(rest)
+              val tail = if (terminated) "]]>" else ""
+              val rest = d.substring(gt + 1) + tail
+              if (rest.nonEmpty) tokenize(rest, xml = false).foreach(process)
             }
           }
         case TComment(d) =>
@@ -1371,7 +1376,8 @@ object Html {
   /** `<![CDATA[...]]>` span: text in foreign (svg/math) context, dropped
     * in HTML context (the tree builder decides — the tokenizer here is a
     * context-free pre-pass, unlike the spec's feedback loop). */
-  private[core] final case class TCdata(data: String) extends Token
+  private[core] final case class TCdata(data: String,
+      terminated: Boolean = true) extends Token
   private[core] final case class TComment(data: String) extends Token
   private[core] final case class TOpen(tag: String, attrs: Seq[(String, String)],
       selfClosing: Boolean) extends Token
@@ -1401,7 +1407,7 @@ object Html {
         } else if (html.startsWith("<![CDATA[", lt)) {
           val end = html.indexOf("]]>", lt + 9)
           val stop = if (end < 0) n else end
-          out += TCdata(html.substring(lt + 9, stop))
+          out += TCdata(html.substring(lt + 9, stop), terminated = end >= 0)
           i = if (end < 0) n else end + 3
         } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
           val end = html.indexOf('>', lt) // doctype / PI / bogus comment: skip

@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object SeenFilter {
 
+  /** Debug lineage of the most recent probe RDD, captured BEFORE the
+    * localCheckpoint truncates it — lets CrawlSpec assert the probe is a
+    * co-partitioned zip with no broadcast without re-running it. */
+  @volatile private[engine] var lastProbeLineage: String = ""
+
   /** Bits sized for ~1% fp at `expectedPerBucket` items, k=7. */
   final case class Params(buckets: Int = 64, bitsPerBucket: Int = 1 << 16, k: Int = 7)
 
@@ -135,10 +140,26 @@ object SeenFilter {
         fit.foreach { case (b, f) => local.put(b, f) }
         cit.map { case (b, row) =>
           val f = local.get(b)
-          (row, f != null && mightContain(f, row.getLong(hashIdx), bits, k))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+            (f != null && mightContain(f, row.getLong(hashIdx), bits, k)))
         }
     }
-    (spark.createDataFrame(flagged.filter(!_._2).map(_._1), schema),
-      spark.createDataFrame(flagged.filter(_._2).map(_._1), schema))
+    // single probe pass: the flag rides as an extra column and the flagged
+    // rows are eagerly localCheckpointed, so the k-hash Bloom probe (and
+    // the co-partitioning shuffle read) executes exactly ONCE per round —
+    // both output branches re-read the checkpointed partitions (old
+    // checkpoint blocks are dropped by the ContextCleaner once the round's
+    // DataFrames go out of scope). Previously the uncached probe RDD fed
+    // two separate filter jobs, running the whole zipPartitions twice.
+    val flaggedSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__maybe_seen", org.apache.spark.sql.types.BooleanType, nullable = false))
+    lastProbeLineage = flagged.toDebugString // pre-truncation, for the
+    // CrawlSpec no-broadcast/co-partition gate (checkpointing hides it)
+    val flaggedDf = spark.createDataFrame(flagged, flaggedSchema)
+      .localCheckpoint(true)
+    val keep = schema.fieldNames.map(col)
+    (flaggedDf.filter(!col("__maybe_seen")).select(keep: _*),
+      flaggedDf.filter(col("__maybe_seen")).select(keep: _*))
   }
 }

@@ -179,11 +179,16 @@ class CrawlSpec extends AnyFunSuite {
     val (fresh, maybe) = SeenFilter.split(spark, cand, filters, params)
     // the probe runs as a zip of two shuffles co-partitioned on the bucket
     // key — one partition per bucket, and NO broadcast anywhere in the
-    // lineage (per-task filter memory = its own buckets only)
-    val lineage = fresh.rdd.toDebugString
+    // lineage (per-task filter memory = its own buckets only). The probe
+    // RDD is localCheckpointed (single execution feeding both branches),
+    // so its pre-truncation lineage is read from the capture hook.
+    val probeLineage = SeenFilter.lastProbeLineage
     assert(fresh.rdd.getNumPartitions == params.buckets)
-    assert(lineage.contains("ZippedPartitionsRDD"), lineage)
-    assert(!lineage.toLowerCase.contains("broadcast"), lineage)
+    assert(probeLineage.contains("ZippedPartitionsRDD"), probeLineage)
+    assert(!probeLineage.toLowerCase.contains("broadcast"), probeLineage)
+    // both branches read the SAME checkpointed probe, not two re-executions
+    val branchLineage = fresh.rdd.toDebugString
+    assert(branchLineage.contains("LocalCheckpointRDD"), branchLineage)
     assert(fresh.count() + maybe.count() == 1000)
   }
 

@@ -249,5 +249,12 @@ object FuzzHtml {
     """<p>a <svg><path d="M0 0"> b</p><p>next para</p>""",
     """<p>E: <math><mi>x</mi><mo>+</mo><mn>1</mn></math> done</p>""",
     """<svg><text><![CDATA[raw > cdata]]></text></svg><p>end cd</p>""",
-    """<p>naked <![CDATA[dropped > in html]]> cdata</p>""")
+    """<p>naked <![CDATA[dropped > in html]]> cdata</p>""",
+    // CDATA-as-bogus-comment: tags after the first '>' re-enter the
+    // tokenizer as real elements (incl. blocks), entities decode
+    """<p>a <![CDATA[x>y<i>ital</i> z &amp; w]]> b</p>""",
+    """<p>a <![CDATA[x>y<div>block</div> t]]> b</p>""",
+    // truncated at EOF: no fabricated "]]>" tail, unclosed tags recover
+    """<p>a <![CDATA[x>y<i>unclosed b""",
+    """<p>a <![CDATA[never closed no gt""")
 }
