@@ -279,16 +279,22 @@ object DedupQueries {
         val toksDf = d.select(col("doc_id"), tokens(col("text")).as("toks"))
         val pairs = OracleMat(s, "q84_pairs")(minhashPairs(toksDf))
         val labels = ccLabels(s, pairs)
-        val en = TextQueries.LangMarkers("en"); val es = TextQueries.LangMarkers("es")
-        val fr = TextQueries.LangMarkers("fr"); val de = TextQueries.LangMarkers("de")
         def hits(ws: Seq[String]) =
           size(filter(tokens(col("text")), w => w.isin(ws.map(lit): _*)))
-        val sig = d.select(col("doc_id"),
-          size(tokens(col("text"))).as("n_tokens"),
-          hits(TextQueries.StopWords).as("n_stop"),
-          hits(en).as("en_hits"), hits(es).as("es_hits"),
-          hits(fr).as("fr_hits"), hits(de).as("de_hits"),
-          md5(col("text").cast("binary")).as("h"))
+        // language gate = the FULL ten-family detect_language primary
+        // (shared with q88) — an English-corpus keep means the reference's
+        // detector would call the doc 'en', not a 4-family argmax
+        val sig = LangDetect.Families.foldLeft(
+          d.select(col("doc_id"), col("text"),
+            size(tokens(col("text"))).as("n_tokens"),
+            hits(TextQueries.StopWords).as("n_stop"),
+            LangDetect.words(lower(col("text"))).as("ld_w"),
+            md5(col("text").cast("binary")).as("h"))) { (df, f) =>
+          df.withColumn(s"ld_m_${f.code}",
+            LangDetect.matches(lower(col("text")), f))
+        }.drop("text")
+        val ldBest = greatest(LangDetect.Families.map(f =>
+          LangDetect.score(col(s"ld_m_${f.code}"), col("ld_w"), f)): _*)
         val wMd5 = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
         val scored = sig
           .withColumn("exact_rep", col("doc_id") === min(col("doc_id")).over(wMd5))
@@ -298,9 +304,7 @@ object DedupQueries {
           .withColumn("quality_ok",
             col("n_tokens").between(10, 100000) &&
               col("n_stop") * 100 >= col("n_tokens"))
-          .withColumn("lang_ok",
-            col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
-              col("en_hits") >= col("de_hits"))
+          .withColumn("lang_ok", ldBest >= 0 && ldBest % 16 === lit(15L))
           .withColumn("kept",
             col("quality_ok") && col("lang_ok") && col("exact_rep") && col("near_rep"))
         scored.select(col("doc_id"), col("n_tokens"), col("quality_ok"),
@@ -321,20 +325,25 @@ object DedupQueries {
               |  SELECT doc_id,
               |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
               |    ${TextQueries.sqlHitCount("text", TextQueries.StopWords)} AS n_stop,
-              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("en"))} AS en_hits,
-              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("es"))} AS es_hits,
-              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("fr"))} AS fr_hits,
-              |    ${TextQueries.sqlHitCount("text", TextQueries.LangMarkers("de"))} AS de_hits,
+              |    ${LangDetect.sqlWords("lower(text)")} AS ld_w,
+              |    ${LangDetect.Families.map(f =>
+                     s"${LangDetect.sqlMatches("lower(text)", f)} AS ld_m_${f.code}")
+                     .mkString(",\n              |    ")},
               |    md5(text) AS h
               |  FROM documents),
+              |ld AS (
+              |  SELECT *, greatest(
+              |    ${LangDetect.Families.map(f =>
+                     LangDetect.sqlScore(s"ld_m_${f.code}", "ld_w", f))
+                     .mkString(",\n              |    ")}) AS ld_best
+              |  FROM sig),
               |scored AS (
               |  SELECT s.doc_id, s.n_tokens,
               |    s.n_tokens BETWEEN 10 AND 100000 AND s.n_stop * 100 >= s.n_tokens AS quality_ok,
-              |    s.en_hits >= s.es_hits AND s.en_hits >= s.fr_hits
-              |      AND s.en_hits >= s.de_hits AS lang_ok,
+              |    s.ld_best >= 0 AND s.ld_best % 16 = 15 AS lang_ok,
               |    s.doc_id = min(s.doc_id) OVER (PARTITION BY s.h) AS exact_rep,
               |    cc.label IS NULL OR cc.label = s.doc_id AS near_rep
-              |  FROM sig s LEFT JOIN cc ON cc.doc_id = s.doc_id)
+              |  FROM ld s LEFT JOIN cc ON cc.doc_id = s.doc_id)
               |SELECT doc_id, n_tokens, quality_ok, lang_ok, exact_rep, near_rep,
               |       quality_ok AND lang_ok AND exact_rep AND near_rep AS kept
               |FROM scored ORDER BY doc_id""".stripMargin)),

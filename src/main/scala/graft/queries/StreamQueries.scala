@@ -79,6 +79,16 @@ object StreamQueries {
     }, Some("""SELECT DISTINCT md5(text) AS content_hash
               |FROM documents ORDER BY content_hash""".stripMargin)),
 
+    // watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark) —
+    // the 100 TB form: state is O(hashes within the delay window). The
+    // hash-derived ingest time makes the output equal the batch DISTINCT
+    // exactly; StreamsSpec separately proves state eviction across batches.
+    QuerySpec("q91_stream_dedup_bounded", (s, dir) => {
+      val q = s"dedupb${counter.incrementAndGet()}"
+      Streams.streamDedupBounded(s, stage(dir, "documents"), q)
+    }, Some("""SELECT DISTINCT md5(text) AS content_hash
+              |FROM documents ORDER BY content_hash""".stripMargin)),
+
     // multimodal: binary media column → batched stub-decode + features;
     // per-format rollup recomputed by the oracle from materialized rows
     QuerySpec("q63_multimodal", (s, _) => {
@@ -126,6 +136,116 @@ object StreamQueries {
               |                100 + length('spark')) AS context0
               |  FROM documents WHERE strpos(text, 'spark') > 0)
               |ORDER BY doc_id""".stripMargin)),
+
+    // search_content, FULL reference semantics (server.ts:1852-1936):
+    // per-LINE scan, literal AND regex modes, the case-sensitivity flag,
+    // first-match-per-line for literals vs ALL matches per line for
+    // regexes (the exec loop), 0-based JS match positions, the ±50-char
+    // context window, and the maxResults=10 cap applied in scan order
+    // (line, then position) across the whole document. The corpus is
+    // single-line, so both engines first derive the same line structure
+    // (a newline after every 8 tokens). FULL cross-engine oracle: DuckDB
+    // recomputes every column from raw text — regex-match positions are
+    // rebuilt from the split-segments/matches interleaving, the same
+    // decomposition Spark uses.
+    QuerySpec("q89_search_content_full", (s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val term = "SPARK" // literal mode: caseSensitive=false (the default)
+      val rxPat = "s\\w+" // regex mode: caseSensitive=true, all matches
+      val lines = d
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n").as("wt"))
+        .select(col("doc_id"),
+          posexplode(split(col("wt"), "\n", -1)).as(Seq("p", "line")))
+        .select(col("doc_id"), (col("p") + 1).as("line_no"), col("line"))
+      // literal: first match per line (the !useRegex break, :1910)
+      val pos1 = locate(term.toLowerCase, lower(col("line")))
+      val litRows = lines.filter(pos1 > 0)
+        .select(col("doc_id"), lit("literal").as("mode"), col("line_no"),
+          (pos1 - 1).as("pos0"),
+          expr(s"substr(line, locate('${term.toLowerCase}', lower(line)), ${term.length})")
+            .as("match_text"),
+          col("line"))
+      // regex: every match per line; position k = len(segs[0..k]) +
+      // len(matches[0..k-1]) from the non-overlapping interleaving
+      val rxRows = lines
+        .select(col("doc_id"), col("line_no"), col("line"),
+          regexp_extract_all(col("line"), lit(rxPat), lit(0)).as("ms"),
+          split(col("line"), rxPat, -1).as("segs"))
+        .select(col("doc_id"), col("line_no"), col("line"), col("segs"), col("ms"),
+          posexplode(col("ms")).as(Seq("k0", "match_text")))
+        .withColumn("pos0",
+          aggregate(slice(col("segs"), lit(1), col("k0") + 1), lit(0),
+            (a, x) => a + length(x)) +
+          aggregate(slice(col("ms"), lit(1), col("k0")), lit(0),
+            (a, x) => a + length(x)))
+        .select(col("doc_id"), lit("regex").as("mode"), col("line_no"),
+          col("pos0"), col("match_text"), col("line"))
+      val both = litRows.unionByName(rxRows)
+        .withColumn("cs", greatest(lit(0), col("pos0") - 50))
+        .withColumn("ce", least(length(col("line")),
+          col("pos0") + length(col("match_text")) + 50))
+        .withColumn("context",
+          expr("substr(line, cs + 1, ce - cs)"))
+      val wScan = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("mode"))
+        .orderBy(col("line_no"), col("pos0"))
+      val wCount = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("mode"))
+      both.withColumn("rn", row_number().over(wScan))
+        .filter(col("rn") <= 10) // maxResults default (:1857)
+        .withColumn("n_results", count(lit(1)).over(wCount))
+        .select(col("doc_id"), col("mode"), col("line_no"), col("pos0"),
+          col("match_text"), col("context"), col("n_results"))
+        .orderBy(col("doc_id"), col("mode"), col("line_no"), col("pos0"))
+    }, Some("""WITH lines0 AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(
+              |      regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
+              |      chr(10)) AS ls
+              |  FROM documents),
+              |lines AS (
+              |  SELECT doc_id, unnest(ls) AS line,
+              |         unnest(generate_series(1, len(ls))) AS line_no
+              |  FROM lines0),
+              |lit AS (
+              |  SELECT doc_id, 'literal' AS mode, line_no,
+              |    strpos(lower(line), 'spark') - 1 AS pos0,
+              |    substr(line, strpos(lower(line), 'spark'), 5) AS match_text,
+              |    line
+              |  FROM lines WHERE strpos(lower(line), 'spark') > 0),
+              |rxl AS (
+              |  SELECT doc_id, line_no, line,
+              |    regexp_extract_all(line, 's\w+') AS ms,
+              |    regexp_split_to_array(line, 's\w+') AS segs
+              |  FROM lines),
+              |rxk AS (
+              |  SELECT doc_id, line_no, line, ms, segs,
+              |    unnest(ms) AS match_text,
+              |    unnest(generate_series(1, len(ms))) AS k
+              |  FROM rxl),
+              |rx AS (
+              |  SELECT doc_id, 'regex' AS mode, line_no,
+              |    length(coalesce(array_to_string(segs[1:k], ''), '')) +
+              |    length(coalesce(array_to_string(ms[1:k-1], ''), '')) AS pos0,
+              |    match_text, line
+              |  FROM rxk),
+              |allm AS (
+              |  SELECT * FROM lit UNION ALL SELECT * FROM rx),
+              |ctx AS (
+              |  SELECT doc_id, mode, line_no, pos0, match_text,
+              |    substr(line, greatest(0, pos0 - 50) + 1,
+              |      least(length(line), pos0 + length(match_text) + 50)
+              |        - greatest(0, pos0 - 50)) AS context
+              |  FROM allm),
+              |capped AS (
+              |  SELECT *, row_number() OVER (
+              |      PARTITION BY doc_id, mode ORDER BY line_no, pos0) AS rn
+              |  FROM ctx)
+              |SELECT doc_id, mode, line_no, pos0, match_text, context,
+              |  count(*) OVER (PARTITION BY doc_id, mode) AS n_results
+              |FROM capped WHERE rn <= 10
+              |ORDER BY doc_id, mode, line_no, pos0""".stripMargin)),
 
     // summarize_content (extract.ts:294-340) over documents; length/format
     // derivations recomputed by the oracle from the materialized output

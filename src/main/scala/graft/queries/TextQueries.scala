@@ -60,6 +60,24 @@ object TextQueries {
   def sqlHitCount(expr: String, ws: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(lower($expr), '\\s+'), w -> w IN ${sqlList(ws)}))"
 
+  /** q90's deterministic sentiment injection: base = text + a lexicon
+    * snippet repeated 1+doc_id%3 times, family keyed on doc_id%6 (0 = no
+    * injection → the neutral/zero-confidence path). One shared SQL
+    * expression, parsed by Spark's expr() and run verbatim in DuckDB. */
+  val SentimentBaseSql: String = {
+    val snips = Seq(
+      "", // neutral
+      "good great excellent",
+      "bad terrible awful",
+      "good bad", // tie -> score 0 -> neutral
+      "love happy perfect best amazing bad",
+      "hate worst boring good wonderful")
+    val cases = snips.zipWithIndex
+      .map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ")
+    s"concat(text, ' ', repeat((CASE CAST(doc_id % 6 AS INT) $cases ELSE '' END) || ' ', " +
+      "CAST(1 + doc_id % 3 AS INT)))"
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     // --- word cloud: tokenized top-k frequency (src/server.ts:3855-3874) --
     QuerySpec(
@@ -198,31 +216,85 @@ object TextQueries {
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),
 
-    // --- readability components (src/server.ts:4104-4121): sentence/word/
-    //     syllable counts, float Flesch surfaced as scaled integer ---------
+    // --- analyze_readability, FULL reference semantics (server.ts:4104-
+    //     4150): markdown-char strip, sentence/word/syllable components,
+    //     Flesch Reading Ease 206.835−1.015·w/s−84.6·syl/w, Flesch-Kincaid
+    //     grade, Automated Readability Index, the 7 level bands (on the
+    //     UNROUNDED Flesch) and the <60 recommendation trigger. The corpus
+    //     has no sentence punctuation, so both engines first derive the
+    //     same sentence-structured text (a '.' after every 12 tokens);
+    //     scores are surfaced as Math.round(x*100) ≡ floor(x*100+0.5)
+    //     ints, with identical literal/operation order so IEEE doubles
+    //     agree bit-for-bit. ------------------------------------------------
     QuerySpec(
       "q16_readability",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+        val rd = regexp_replace( // markdown-char strip (server.ts:4101)
+          regexp_replace(col("text"), "((?:\\S+ ){11}\\S+) ", "$1. "),
+          "[\\[\\]\\(\\)\\*_`#]", " ")
+        val words = filter(split(rd, "\\s+", -1), w => length(w) > 0)
+        val sentences = filter(split(rd, "[.!?]+", -1),
+          x => length(trim(x)) > 0)
         val syll = aggregate(
           transform(words, w =>
             greatest(lit(1), size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))),
           lit(0), (acc, x) => acc + x)
-        d.select(col("doc_id"),
-            size(words).as("n_words"),
-            syll.as("n_syllables"),
-            length(regexp_replace(col("text"), "\\s", "")).as("n_chars_nospace"))
+        val base = d.select(col("doc_id"),
+          size(words).as("n_words"),
+          size(sentences).as("n_sentences"),
+          syll.as("n_syllables"),
+          length(regexp_replace(rd, "\\s", "")).as("n_chars_nospace"))
+        val wps = col("n_words") / col("n_sentences")
+        val spw = col("n_syllables") / col("n_words")
+        val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+        val fk = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+        val ari = lit(4.71) * (col("n_chars_nospace") / col("n_words")) +
+          lit(0.5) * wps - lit(21.43)
+        def x100(c: Column) = floor(c * 100 + lit(0.5)).cast("long")
+        base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"), col("n_chars_nospace"),
+            x100(flesch).as("flesch_x100"),
+            x100(fk).as("fk_grade_x100"),
+            x100(ari).as("ari_x100"),
+            when(flesch >= 90, "Very Easy").when(flesch >= 80, "Easy")
+              .when(flesch >= 70, "Fairly Easy").when(flesch >= 60, "Standard")
+              .when(flesch >= 50, "Fairly Difficult").when(flesch >= 30, "Difficult")
+              .otherwise("Very Difficult").as("level"),
+            when(flesch < 60, 4).otherwise(1).as("n_recommendations"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |       len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0)) AS n_words,
-             |       CAST(list_sum(list_transform(
-             |         list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0),
-             |         w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))) AS INTEGER) AS n_syllables,
-             |       length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace
-             |FROM documents
-             |ORDER BY doc_id""".stripMargin)),
+      Some("""WITH rd AS (
+             |  SELECT doc_id,
+             |         regexp_replace(
+             |           regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1. ', 'g'),
+             |           '[\[\]\(\)\*_`#]', ' ', 'g') AS rt
+             |  FROM documents),
+             |comp AS (
+             |  SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(rt, '\s+'), w -> length(w) > 0)) AS n_words,
+             |    len(list_filter(regexp_split_to_array(rt, '[.!?]+'), x -> length(trim(x)) > 0)) AS n_sentences,
+             |    CAST(list_sum(list_transform(
+             |      list_filter(regexp_split_to_array(rt, '\s+'), w -> length(w) > 0),
+             |      w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))) AS INTEGER) AS n_syllables,
+             |    length(regexp_replace(rt, '\s', '', 'g')) AS n_chars_nospace
+             |  FROM rd),
+             |scored AS (
+             |  SELECT *,
+             |    206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) AS flesch,
+             |    0.39 * (n_words / n_sentences) + 11.8 * (n_syllables / n_words) - 15.59 AS fk,
+             |    4.71 * (n_chars_nospace / n_words) + 0.5 * (n_words / n_sentences) - 21.43 AS ari
+             |  FROM comp)
+             |SELECT doc_id, n_words, n_sentences, n_syllables, n_chars_nospace,
+             |  CAST(floor(flesch * 100 + 0.5) AS BIGINT) AS flesch_x100,
+             |  CAST(floor(fk * 100 + 0.5) AS BIGINT) AS fk_grade_x100,
+             |  CAST(floor(ari * 100 + 0.5) AS BIGINT) AS ari_x100,
+             |  CASE WHEN flesch >= 90 THEN 'Very Easy' WHEN flesch >= 80 THEN 'Easy'
+             |       WHEN flesch >= 70 THEN 'Fairly Easy' WHEN flesch >= 60 THEN 'Standard'
+             |       WHEN flesch >= 50 THEN 'Fairly Difficult' WHEN flesch >= 30 THEN 'Difficult'
+             |       ELSE 'Very Difficult' END AS level,
+             |  CASE WHEN flesch < 60 THEN 4 ELSE 1 END AS n_recommendations
+             |FROM scored ORDER BY doc_id""".stripMargin)),
 
     // --- n-gram (bigram) frequency: extract_keywords phrase pass
     //     (src/server.ts:4033-4058) ----------------------------------------
@@ -330,6 +402,185 @@ object TextQueries {
       Some("""SELECT doc_id, md5(text) AS content_md5,
              |       sha256(text) AS content_sha256
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- detect_language, FULL reference semantics (server.ts:4180-4233):
+    //     all TEN families incl. the non-Latin unicode-range ones (and the
+    //     ja 8-literal-chars quirk at :4202), htmlLang lang||xml:lang
+    //     falsy-fallthrough precedence, the min(1, m/(w*0.1)) confidence
+    //     formula with 2-dp rounding, candidate threshold on the UNROUNDED
+    //     value, stable-sort primary selection, isConfident >= 0.8. Runs
+    //     over a synthetic multilingual corpus both engines derive from
+    //     documents with one shared SQL expression. --------------------------
+    QuerySpec(
+      "q88_lang_detect_full",
+      (s, dir) => {
+        import LangDetect._
+        val d = t(s, dir, "documents")
+        val ml = d.select(col("doc_id"), expr(MlTextSql).as("mlt"),
+          expr(HtmlLangSql).as("html_lang"))
+        val withM = Families.foldLeft(ml.withColumn("w", words(col("mlt")))) {
+          (df, f) => df.withColumn(s"m_${f.code}", matches(col("mlt"), f))
+        }
+        val best = greatest(
+          Families.map(f => score(col(s"m_${f.code}"), col("w"), f)): _*)
+        val nDet = least(lit(5), Families.map(f =>
+          when(included(col(s"m_${f.code}"), col("w")), 1).otherwise(0))
+          .reduce(_ + _))
+        withM.withColumn("best", best)
+          .select(Seq(col("doc_id"), col("html_lang"), col("w")) ++
+            Families.map(f => col(s"m_${f.code}")) ++ Seq(
+              primaryLang(col("best")).as("primary_lang"),
+              primaryConf100(col("best")).as("primary_conf_x100"),
+              (col("best") >= 0 && primaryConf100(col("best")) >= 80)
+                .as("is_confident"),
+              nDet.as("n_detected")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import LangDetect._
+        val mCols = Families.map(f =>
+          s"${sqlMatches("mlt", f)} AS m_${f.code}").mkString(",\n    ")
+        val scores = Families.map(f =>
+          sqlScore(s"m_${f.code}", "w", f)).mkString(",\n      ")
+        val incSum = Families.map(f =>
+          s"CASE WHEN ${sqlIncluded(s"m_${f.code}", "w")} THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ml AS (
+           |  SELECT doc_id, $MlTextSql AS mlt,
+           |         $HtmlLangSql AS html_lang
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, html_lang, ${sqlWords("mlt")} AS w,
+           |    $mCols
+           |  FROM ml),
+           |sc AS (
+           |  SELECT *, greatest(
+           |      $scores) AS best
+           |  FROM m)
+           |SELECT doc_id, html_lang, w,
+           |  ${Families.map(f => s"m_${f.code}").mkString(", ")},
+           |  ${sqlPrimaryLang("best")} AS primary_lang,
+           |  ${sqlPrimaryConf100("best")} AS primary_conf_x100,
+           |  (best >= 0 AND ${sqlPrimaryConf100("best")} >= 80) AS is_confident,
+           |  least(5, $incSum) AS n_detected
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // --- sentiment_analysis, FULL granularity semantics (server.ts:4311-
+    //     4405): overall + paragraph (split /\n\s*\n/) + sentence (split
+    //     /[.!?]+/, first 20) modes, each through the same analyzeSentiment
+    //     — \W+ tokenization (KEEPING empty edge tokens in the confidence
+    //     denominator, exactly like JS split), lexicon hit counts, score
+    //     (p−n)/(p+n) with the >0.1/<−0.1 banding done in exact integer
+    //     arithmetic, confidence min(1, total/(words*0.1)), and the
+    //     substring(0,100)+'...' preview. The corpus is single-line, so
+    //     both engines derive the same paragraph/sentence structure and
+    //     sentiment-bearing injections from documents first. ----------------
+    QuerySpec(
+      "q90_sentiment_granular",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // deterministic sentiment injection + structure (shared derivation)
+        val baseCol = expr(SentimentBaseSql).as("base")
+        val paraCol = regexp_replace(col("base"), "((?:\\S+ ){15}\\S+) ", "$1\n\n")
+        val sentCol = regexp_replace(col("base"), "((?:\\S+ ){7}\\S+) ", "$1. ")
+        val src = d.select(col("doc_id"), baseCol)
+          .select(col("doc_id"), col("base"), paraCol.as("ptext"), sentCol.as("stext"))
+        def sentimentCols(unit: Column): Seq[Column] = {
+          val toks = split(lower(unit), "[^A-Za-z0-9_]+", -1)
+          val pos = size(filter(toks, w => w.isin(PositiveWords.map(lit): _*)))
+          val neg = size(filter(toks, w => w.isin(NegativeWords.map(lit): _*)))
+          val total = pos + neg
+          val score100 = when(total === 0, lit(0L)).otherwise(
+            floor((pos - neg) / total.cast("double") * 100 + lit(0.5)).cast("long"))
+          val label = when(total === 0, "neutral")
+            .when((pos - neg) * 10 > total, "positive")
+            .when((pos - neg) * 10 < -total, "negative")
+            .otherwise("neutral")
+          val conf100 = floor(least(lit(1.0),
+            total / (size(toks) * lit(0.1))) * lit(100) + lit(0.5)).cast("long")
+          Seq(pos.as("pos"), neg.as("neg"), score100.as("score_x100"),
+            label.as("label"), conf100.as("conf_x100"))
+        }
+        val overall = src.select(Seq(col("doc_id"), lit("overall").as("mode"),
+          lit(0).as("idx"), lit("").as("preview")) ++ sentimentCols(col("base")): _*)
+        val paras = src.select(col("doc_id"),
+            posexplode(filter(split(col("ptext"), "\\n\\s*\\n", -1),
+              p => length(trim(p)) > 0)).as(Seq("idx", "unit")))
+          .select(Seq(col("doc_id"), lit("paragraph").as("mode"), col("idx"),
+            concat(substring(col("unit"), 1, 100), lit("...")).as("preview")) ++
+            sentimentCols(col("unit")): _*)
+        val sents = src.select(col("doc_id"),
+            posexplode(slice(filter(split(col("stext"), "[.!?]+", -1),
+              x => length(trim(x)) > 0), 1, 20)).as(Seq("idx", "unit")))
+          // preview trims (reference :4394) but analyzeSentiment gets the
+          // RAW sentence — a leading space adds an empty \W+ token to the
+          // confidence denominator, faithfully
+          .select(Seq(col("doc_id"), lit("sentence").as("mode"), col("idx"),
+            concat(substring(trim(col("unit")), 1, 100), lit("...")).as("preview")) ++
+            sentimentCols(col("unit")): _*)
+        overall.unionByName(paras).unionByName(sents)
+          .orderBy(col("doc_id"), col("mode"), col("idx"))
+      },
+      Some {
+        def sqlSent(unit: String): String = {
+          val toks = s"regexp_split_to_array(lower($unit), '[^A-Za-z0-9_]+')"
+          s"""len(list_filter($toks, w -> w IN ${sqlList(PositiveWords)})) AS pos,
+             |    len(list_filter($toks, w -> w IN ${sqlList(NegativeWords)})) AS neg,
+             |    len($toks) AS wl""".stripMargin
+        }
+        val derive = """
+          |base AS (
+          |  SELECT doc_id, """.stripMargin + SentimentBaseSql + """ AS base FROM documents),
+          |structured AS (
+          |  SELECT doc_id, base,
+          |    regexp_replace(base, '((?:\S+ ){15}\S+) ', '\1' || chr(10) || chr(10), 'g') AS ptext,
+          |    regexp_replace(base, '((?:\S+ ){7}\S+) ', '\1. ', 'g') AS stext
+          |  FROM base)""".stripMargin
+        s"""WITH $derive,
+           |overall AS (
+           |  SELECT doc_id, 'overall' AS mode, 0 AS idx, '' AS preview,
+           |    ${sqlSent("base")}
+           |  FROM structured),
+           |punits AS (
+           |  SELECT doc_id,
+           |    unnest(pl) AS unit,
+           |    unnest(generate_series(1, len(pl))) AS k
+           |  FROM (SELECT doc_id, list_filter(
+           |          regexp_split_to_array(ptext, '\\n\\s*\\n'),
+           |          p -> length(trim(p)) > 0) AS pl FROM structured)),
+           |paras AS (
+           |  SELECT doc_id, 'paragraph' AS mode, k - 1 AS idx,
+           |    substr(unit, 1, 100) || '...' AS preview,
+           |    ${sqlSent("unit")}
+           |  FROM punits),
+           |sunits AS (
+           |  SELECT doc_id,
+           |    unnest(sl) AS unit,
+           |    unnest(generate_series(1, len(sl))) AS k
+           |  FROM (SELECT doc_id, list_filter(
+           |          regexp_split_to_array(stext, '[.!?]+'),
+           |          x -> length(trim(x)) > 0)[1:20] AS sl FROM structured)),
+           |sents AS (
+           |  SELECT doc_id, 'sentence' AS mode, k - 1 AS idx,
+           |    substr(trim(unit), 1, 100) || '...' AS preview,
+           |    ${sqlSent("unit")}
+           |  FROM sunits),
+           |allu AS (
+           |  SELECT * FROM overall UNION ALL SELECT * FROM paras
+           |  UNION ALL SELECT * FROM sents)
+           |SELECT doc_id, mode, idx, preview, pos, neg,
+           |  CAST(CASE WHEN pos + neg = 0 THEN 0
+           |       ELSE floor((pos - neg) / CAST(pos + neg AS DOUBLE) * 100 + 0.5)
+           |       END AS BIGINT) AS score_x100,
+           |  CASE WHEN pos + neg = 0 THEN 'neutral'
+           |       WHEN (pos - neg) * 10 > pos + neg THEN 'positive'
+           |       WHEN (pos - neg) * 10 < -(pos + neg) THEN 'negative'
+           |       ELSE 'neutral' END AS label,
+           |  CAST(floor(least(1.0, (pos + neg) / (wl * 0.1)) * 100 + 0.5) AS BIGINT) AS conf_x100
+           |FROM allu ORDER BY doc_id, mode, idx""".stripMargin
+      })
   )
+
 }

@@ -34,6 +34,30 @@ object ToolQueries {
     }.toDF("url", "html")
   }
 
+  /** q47's deterministic entity injection: the corpus has no digits, @s,
+    * #s or URLs at all, so every entity family would count zero. Both
+    * engines derive the same entity-bearing text from documents with ONE
+    * shared SQL expression — two snippet picks per doc (doc_id%9 and a
+    * rotated doc_id%7) so families overlap and counts vary. */
+  private val EntityTextSql: String = {
+    val snips = Seq(
+      "contact alice@example.com or bob.smith@test.org now",
+      "see https://example.com/page?id=3 and http://data.test/x for details",
+      "meeting January 15, 2024 and feb 3, 2023 review",
+      "at 3:45 PM then 10:30 and 23:59:59 sharp",
+      "growth 12.5% vs 7% overall",
+      "tags #spark #bigdata by @alice and @bob",
+      "price $1,234.56 or 999.99 USD and $7",
+      "call 555-123-4567 or +1-800-555-0199 today",
+      "location 37.7749, -122.4194 mapped")
+    def caseOf(mod: Int, pick: Int => Int): String =
+      s"CASE CAST(doc_id % $mod AS INT) " + (0 until mod).map(i =>
+        s"WHEN $i THEN '${snips(pick(i))}'").mkString(" ") + " ELSE '' END"
+    val a = caseOf(9, identity)
+    val b = caseOf(7, i => (i + 3) % 9)
+    s"concat(text, ' ', $a, ' ', $b)"
+  }
+
   /** classify's (category, keyword) pairs as a DuckDB VALUES list — the
     * oracle rebuilds the whole keyword-matching kernel in SQL. */
   private val classifyValues: String =
@@ -165,30 +189,48 @@ object ToolQueries {
                |            ELSE len(str_split(phones, '|')) END AS n_phones
                |FROM ${OracleMat.src("q46")} ORDER BY url""".stripMargin)),
 
-    // extract_entities over documents.text — FULL cross-engine oracle: the
-    // DuckDB side re-runs the regex families (RE2 ≡ java.util.regex for
-    // these patterns) over the raw documents table
+    // extract_entities, ALL TEN regex families (server.ts:4245-4309) —
+    // FULL cross-engine oracle: the DuckDB side re-runs every family
+    // (RE2 ≡ java.util.regex for these patterns, incl. alternation
+    // preference and ASCII \b) over the same entity-bearing text both
+    // engines derive from documents. .distinct per family ≡ list_distinct.
     QuerySpec("q47_entities", (s, dir) => {
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .select(col("doc_id").cast("long"), expr(EntityTextSql).as("ent_text"))
+        .as[(Long, String)]
         .map { case (id, text) =>
           val e = PageTools.extractEntities(text)
-          (id, e.emails.length, e.urls.length, e.dates.length,
-            e.percentages.length, e.hashtags.length)
-        }.toDF("doc_id", "n_emails", "n_urls", "n_dates", "n_pct", "n_tags")
+          (id, e.emails.length, e.urls.length, e.phones.length,
+            e.dates.length, e.times.length, e.currencies.length,
+            e.percentages.length, e.hashtags.length, e.mentions.length,
+            e.coordinates.length)
+        }.toDF("doc_id", "n_emails", "n_urls", "n_phones", "n_dates",
+          "n_times", "n_currencies", "n_pct", "n_tags", "n_mentions",
+          "n_coords")
         .orderBy("doc_id")
-    }, Some("""SELECT doc_id,
-              |  len(list_distinct(regexp_extract_all(text,
-              |    '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b'))) AS n_emails,
-              |  len(list_distinct(regexp_extract_all(text,
-              |    'https?://[^\s]+'))) AS n_urls,
-              |  len(list_distinct(regexp_extract_all(text,
-              |    '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s+\d{4}\b'))) AS n_dates,
-              |  len(list_distinct(regexp_extract_all(text,
-              |    '\d+(?:\.\d+)?%'))) AS n_pct,
-              |  len(list_distinct(regexp_extract_all(text, '#\w+'))) AS n_tags
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+    }, Some(s"""WITH et AS (
+               |  SELECT doc_id, $EntityTextSql AS ent_text FROM documents)
+               |SELECT doc_id,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b'))) AS n_emails,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    'https?://[^\\s]+'))) AS n_urls,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\b(?:\\+?1[-.]?)?\\(?([0-9]{3})\\)?[-.]?([0-9]{3})[-.]?([0-9]{4})\\b'))) AS n_phones,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '(?i)\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\\s+\\d{1,2},?\\s+\\d{4}\\b'))) AS n_dates,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\b\\d{1,2}:\\d{2}(?::\\d{2})?\\s*(?:AM|PM|am|pm)?\\b'))) AS n_times,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\$$\\d+(?:,\\d{3})*(?:\\.\\d{2})?|\\d+(?:,\\d{3})*(?:\\.\\d{2})?\\s*(?:USD|EUR|GBP|JPY)'))) AS n_currencies,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\d+(?:\\.\\d+)?%'))) AS n_pct,
+               |  len(list_distinct(regexp_extract_all(ent_text, '#\\w+'))) AS n_tags,
+               |  len(list_distinct(regexp_extract_all(ent_text, '@\\w+'))) AS n_mentions,
+               |  len(list_distinct(regexp_extract_all(ent_text,
+               |    '\\b-?\\d{1,3}\\.\\d+,\\s*-?\\d{1,3}\\.\\d+\\b'))) AS n_coords
+               |FROM et ORDER BY doc_id""".stripMargin)),
 
     // extract_keywords (with the reference's markdown-strip quirks);
     // kernel rows materialized, derived length column recomputed
@@ -261,9 +303,14 @@ object ToolQueries {
                |            ELSE 'F' END AS grade
                |FROM ${OracleMat.src("q50")} ORDER BY url""".stripMargin)),
 
-    // compare_content (:2307-2395): pairwise page compare. The oracle
-    // recomputes the PAIRING JOIN and the word-set Jaccard from the
-    // materialized per-page text — the whole distributed part cross-checked
+    // compare_content (:2307-2395): pairwise page compare. The reference's
+    // contract is exactly TWO urls per call (:2333-2336); the engine drives
+    // it from an EXPLICIT pair list — each page paired with its successor
+    // within the host group — so the compare stage is O(pairs), never
+    // Θ(Σ n_host²) (the r3 all-pairs form did not survive a 100× per-host
+    // scale-up; PlanSpec gates the cardinality). The oracle recomputes the
+    // pair list (same lead-over-group derivation) AND the word-set Jaccard
+    // from the materialized per-page text.
     QuerySpec("q51_compare", (s, _) => {
       import s.implicits._
       val p = pages(s).as[(String, String)]
@@ -274,17 +321,19 @@ object ToolQueries {
         }.toDF("url", "title", "text")
         .withColumn("grp", substring(col("url"), 12, 1))
       val keyed = OracleMat(s, "q51")(p)
-      // pair pages within the same host group: the group key is the JOIN key
-      // (hash/sort-merge equi-join), `<` is a post-join filter — a theta-only
-      // join would plan as BroadcastNestedLoop (cartesian at scale)
-      val a = keyed.select(col("grp"), col("url").as("url_a"),
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("url"))
+      val pairList = keyed.select(col("grp"), col("url"))
+        .withColumn("url_b", lead(col("url"), 1).over(wg))
+        .filter(col("url_b").isNotNull)
+        .select(col("url").as("url_a"), col("url_b"))
+      val a = keyed.select(col("url").as("url_a"),
         col("title").as("title_a"), col("text").as("text_a"))
-      val b = keyed.select(col("grp"), col("url").as("url_b"),
+      val b = keyed.select(col("url").as("url_b"),
         col("title").as("title_b"), col("text").as("text_b"))
       val sim = udf((x: String, y: String) =>
         math.round(PageTools.textSimilarity(x, y) * 10000))
-      a.join(b, Seq("grp"))
-        .filter(col("url_a") < col("url_b"))
+      pairList.join(a, Seq("url_a")).join(b, Seq("url_b"))
         .withColumn("jaccard_x10000", sim(col("text_a"), col("text_b")))
         .select(col("url_a"), col("url_b"),
           (col("title_a") === col("title_b")).as("title_match"),
@@ -296,12 +345,19 @@ object ToolQueries {
                |           regexp_split_to_array(lower(text), '\\s+'),
                |           x -> x <> '')) AS ws
                |  FROM ${OracleMat.src("q51")}),
+               |pl AS (
+               |  SELECT url AS url_a,
+               |         lead(url) OVER (PARTITION BY grp ORDER BY url) AS url_b
+               |  FROM p),
                |pairs AS (
-               |  SELECT a.url AS url_a, b.url AS url_b,
+               |  SELECT pr.url_a, pr.url_b,
                |         a.title = b.title AS title_match,
                |         len(list_intersect(a.ws, b.ws)) AS li,
                |         len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS lu
-               |  FROM p a JOIN p b ON a.grp = b.grp AND a.url < b.url)
+               |  FROM pl pr
+               |  JOIN p a ON a.url = pr.url_a
+               |  JOIN p b ON b.url = pr.url_b
+               |  WHERE pr.url_b IS NOT NULL)
                |SELECT url_a, url_b, title_match,
                |       CAST(round(CASE WHEN lu = 0 THEN 1.0
                |                       ELSE CAST(li AS DOUBLE) / lu END * 10000)

@@ -55,17 +55,43 @@ object Streams {
   /** Streaming exact dedup: stateful dropDuplicates on the content hash
     * over a parquet stream — the keep-first ingest dedup a training-data
     * pipeline runs continuously as documents arrive. State is one entry
-    * per distinct hash in the state store; at 100 TB scale the state is
-    * bounded with `dropDuplicatesWithinWatermark` over an ingest-time
-    * column (the synthetic documents table carries no event time, so the
-    * unbounded form is exercised here). Output is the distinct hash set —
-    * order-independent, so the batch oracle (SELECT DISTINCT md5(text))
-    * pins it exactly regardless of file-arrival order. */
+    * per distinct hash in the state store (the EXACT, unbounded form);
+    * [[streamDedupBounded]] is the watermark-bounded 100 TB form (q91).
+    * Output is the distinct hash set — order-independent, so the batch
+    * oracle (SELECT DISTINCT md5(text)) pins it exactly regardless of
+    * file-arrival order. */
   def streamDedup(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       .select(md5(col("text").cast("binary")).as("content_hash"))
       .dropDuplicates("content_hash")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).select("content_hash").orderBy("content_hash")
+  }
+
+  /** Watermark-BOUNDED streaming dedup (the 100 TB form of
+    * [[streamDedup]]): `dropDuplicatesWithinWatermark` keeps a state row
+    * only until the watermark passes its event time + delay, so state is
+    * O(hashes inside the delay window), not O(every hash ever ingested) —
+    * duplicates farther apart than the delay re-emit (by design; see
+    * StreamsSpec's multi-batch eviction test). The driver query derives
+    * the ingest time FROM the content hash, so all duplicates of a hash
+    * share one event time and the output equals the batch DISTINCT
+    * exactly — deterministic under any file/batch arrival order. */
+  def streamDedupBounded(spark: SparkSession, inputDir: String,
+      queryName: String, delay: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .withColumn("ingest_ts", timestamp_seconds(
+        lit(1700000000L) + pmod(xxhash64(col("content_hash")), lit(3600L))))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -83,6 +83,19 @@ class PlanSpec extends AnyFunSuite {
       s"theta-join shape survived:\n${p.take(2000)}")
   }
 
+  test("q51 compare output is O(pairs): one row per adjacent-in-group pair") {
+    // the explicit pair list (lead over the host group) yields exactly
+    // n_pages - n_groups rows — the Θ(Σ n_host²) all-pairs form is gone
+    val df = graft.SparkEntry.queries("q51_compare")(spark, sf)
+    val out = df.count()
+    val mat = spark.read.parquet(
+      s"${graft.queries.OracleMat.writeRoot}/q51")
+    val pages = mat.count()
+    val groups = mat.select("grp").distinct().count()
+    assert(out == pages - groups,
+      s"expected ${pages - groups} pair rows (pages=$pages, groups=$groups), got $out")
+  }
+
   test("q65 lag window is partitioned (no SinglePartition exchange)") {
     val p = plan("q65_traffic_wow")
     // the final presentation orderBy is a range exchange; the WINDOW itself
