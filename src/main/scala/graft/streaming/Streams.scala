@@ -117,7 +117,12 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-sorted within group; emit closed sessions on gaps
+          // batch-sorted within group; emit closed sessions on gaps.
+          // NOTE: materializes ONE USER's single-microbatch slice (not the
+          // full history — state carries only the open session between
+          // batches), so per-task memory is bounded by trigger interval ×
+          // per-user event rate; a pathological single-user burst should be
+          // bounded upstream by trigger sizing or rate limiting
           val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[Session]()
           var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0))

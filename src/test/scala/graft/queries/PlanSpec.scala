@@ -121,6 +121,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Exchange count in the AQE FINAL plan only (executedPlan.toString
+    * repeats every node once more in the "Initial Plan" section). */
+  private def finalPlanExchanges(p: String): Int = {
+    val cut = p.indexOf("== Initial Plan ==")
+    val fin = if (cut >= 0) p.substring(0, cut) else p
+    "Exchange".r.findAllIn(fin).size
+  }
+
+  test("q88 ten-family language detection is a narrow single-scan pipeline") {
+    // per-row regexp scoring must stay scan→project→sort: the only
+    // exchange is the presentation orderBy's range partitioning
+    val p = plan("q88_lang_detect_full")
+    val exchanges = finalPlanExchanges(p)
+    assert(exchanges <= 1, s"q88 grew $exchanges exchanges:\n${p.take(1500)}")
+  }
+
+  test("q89 search windows are partitioned by doc_id (no SinglePartition)") {
+    val p = plan("q89_search_content_full")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"no window in plan:\n${p.take(1200)}")
+    assert(!p.contains("SinglePartition"),
+      s"a window collapsed to one partition:\n${p.take(2500)}")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"cap/count windows not keyed by doc_id:\n${p.take(2500)}")
+  }
+
+  test("q90 granularity explodes stay narrow (no shuffle before the union)") {
+    val p = plan("q90_sentiment_granular")
+    // three generator branches over one table + presentation sort: the
+    // union itself must not introduce exchanges
+    val exchanges = finalPlanExchanges(p)
+    assert(exchanges <= 1, s"q90 grew $exchanges exchanges:\n${p.take(1500)}")
+  }
+
   test("q20 minhash candidate join carries no token arrays through any exchange") {
     val p = plan("q20_minhash_lsh")
     // at small scale AQE may broadcast the band side instead of shuffling;
