@@ -60,12 +60,16 @@ object LangDetect {
   /** 2-dp-rounded confidence scaled x100: floor(min(1, m/(w*0.1))*100+0.5). */
   def conf100(m: Column, w: Column): Column =
     floor(least(lit(1.0), m / (w * lit(0.1))) * lit(100) + lit(0.5)).cast("long")
+  // NB: DuckDB parses bare 0.1 as DECIMAL and keeps `w * 0.1` EXACT
+  // (9.6, not the double 9.600000000000001 Spark computes) — the CAST
+  // forces the same IEEE double arithmetic on both engines
   def sqlConf100(m: String, w: String): String =
-    s"CAST(floor(least(1.0, $m / ($w * 0.1)) * 100 + 0.5) AS BIGINT)"
+    s"CAST(floor(least(1.0, $m / ($w * CAST(0.1 AS DOUBLE))) * 100 + 0.5) AS BIGINT)"
 
   /** Candidate-list membership uses the UNROUNDED confidence (:4213). */
   def included(m: Column, w: Column): Column = m / (w * lit(0.1)) > lit(0.1)
-  def sqlIncluded(m: String, w: String): String = s"$m / ($w * 0.1) > 0.1"
+  def sqlIncluded(m: String, w: String): String =
+    s"$m / ($w * CAST(0.1 AS DOUBLE)) > 0.1"
 
   /** Primary-selection encoding: sort key (rounded conf desc, family order
     * asc) packed into one integer — conf100*16 + (15-idx), -1 if not a

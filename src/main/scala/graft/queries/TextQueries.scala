@@ -578,7 +578,7 @@ object TextQueries {
            |       WHEN (pos - neg) * 10 > pos + neg THEN 'positive'
            |       WHEN (pos - neg) * 10 < -(pos + neg) THEN 'negative'
            |       ELSE 'neutral' END AS label,
-           |  CAST(floor(least(1.0, (pos + neg) / (wl * 0.1)) * 100 + 0.5) AS BIGINT) AS conf_x100
+           |  CAST(floor(least(1.0, (pos + neg) / (wl * CAST(0.1 AS DOUBLE))) * 100 + 0.5) AS BIGINT) AS conf_x100
            |FROM allu ORDER BY doc_id, mode, idx""".stripMargin
       })
   )
