@@ -232,7 +232,10 @@ object Bench {
       // driver artifact itself carries un-caveated >=0.8 evidence.
       val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
       val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
-      val cooldownSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "60").toLong
+      // 60 s rarely restores burst credits (BASELINE.md measured ~minutes
+      // of idle); 150 s between attempts trades a little wall-clock for a
+      // real chance the retry lands in a fresh window
+      val cooldownSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN", "150").toLong
 
       final case class Attempt(order: String, spin32: Double, spin8: Double,
           sched8: Vector[Double], sched32: Vector[Double],
