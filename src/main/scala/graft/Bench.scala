@@ -185,20 +185,53 @@ object Bench {
     (k8, k32)
   }
 
-  /** End-to-end crawl-round throughput: full multi-round crawl (dedupe →
-    * budget → fetch → extract → commit-free) on a larger synthetic web. */
-  private def crawlBench(spark: SparkSession): (Long, Double) = {
+  /** End-to-end crawl throughput at one (web, budget) point: full
+    * multi-round crawl (dedupe → budget → fetch → extract, commit-free).
+    * Returns (pages, rounds, secs). */
+  private def crawlPoint(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
+      seeds: Int, budget: Int, maxDepth: Int, maxPages: Int): (Long, Long, Double) = {
     val web = engine.SyntheticWeb.Config(
-      nHosts = 64, pagesPerHost = 2000, megaFactor = 4, linksPerPage = 12)
+      nHosts = nHosts, pagesPerHost = pagesPerHost, megaFactor = 4,
+      linksPerPage = 12)
     val cfg = engine.FrontierEngine.Config(
-      maxDepth = 4, maxPages = 20000, hostBudget = 1000,
+      maxDepth = maxDepth, maxPages = maxPages, hostBudget = budget,
       sameHostOnly = false, respectRobots = true, saltBuckets = 8, web = web)
-    val seedList = (0 until 32).map(h => engine.SyntheticWeb.pageUrl(h, 0))
+    val seedList = (0 until seeds).map(h => engine.SyntheticWeb.pageUrl(h, 0))
+    var rounds = 0L
     val (pages, secs) = time {
       val (fetched, _) = engine.FrontierEngine.crawl(spark, seedList, cfg)
-      fetched.count()
+      val agg = fetched.agg(count(lit(1)), max(col("round"))).collect()(0)
+      rounds = agg.getLong(1) + 1
+      agg.getLong(0)
     }
-    (pages, secs)
+    (pages, rounds, secs)
+  }
+
+  /** Crawl-round amortization curve: the same end-to-end pipeline at three
+    * round sizes (per-host budget × active hosts). At toy round sizes the
+    * per-round fixed cost (job scheduling, shuffle setup, plan work)
+    * dominates and pages/s understates the engine; the curve shows pages/s
+    * climbing toward the extract-kernel bound as rounds carry more pages —
+    * the 100 TB regime, where a round fetches millions of pages, sits far
+    * to the right of the largest point. */
+  private def crawlAmortBench(spark: SparkSession): (Long, String) = {
+    // (label, hosts, pages/host, seeds, budget, depth, maxPages)
+    val points = Seq(
+      ("small_rounds", 64, 2000, 32, 100, 4, 20000),
+      ("medium_rounds", 64, 2000, 32, 1000, 4, 20000),
+      ("large_rounds", 256, 2000, 128, 4000, 8, 200000))
+    val rows = points.map { case (label, h, pph, seeds, budget, depth, maxP) =>
+      val (pages, rounds, secs) = crawlPoint(spark, h, pph, seeds, budget, depth, maxP)
+      val perRound = if (rounds > 0) pages / rounds else 0L
+      (label, pages, rounds, perRound, (pages / secs).round)
+    }
+    val headline = rows.find(_._1 == "medium_rounds").map(_._5).getOrElse(0L)
+    val json = rows.map { case (label, pages, rounds, perRound, rate) =>
+      s"""{"label":"$label","pages":$pages,"rounds":$rounds,
+         |"pages_per_round":$perRound,"pages_per_sec":$rate}""".stripMargin
+        .replace("\n", "")
+    }.mkString("[", ",", "]")
+    (headline, json)
   }
 
   def main(args: Array[String]): Unit = {
@@ -279,23 +312,31 @@ object Bench {
         attempts += runAttempt(if (i % 2 == 0) Seq(32, 8) else Seq(8, 32))
         val a = attempts.last
         // gate on the north-rule headline (frontier scheduling) AND the
-        // extract leg — a throttled extract window must trigger a retry
-        // too, not just ride along. The kernel control is reported per
-        // attempt but varies +-0.1 run-to-run even on a fresh host and
-        // must not burn extra driver wall-clock.
-        done = a.schedEffBest >= 0.8 && a.extractEffBest >= 0.7
+        // extract leg AND the kernel thread-scaling control — the kernel
+        // probe is precisely the instrument meant to catch partial host
+        // throttling, so a throttled kernel window must trigger a retry
+        // like the other two legs (its threshold is the looser 0.7: it
+        // varies +-0.1 run-to-run even on a fresh host).
+        done = a.schedEffBest >= 0.8 && a.extractEffBest >= 0.7 &&
+          a.kernelEff >= 0.7
         i += 1
         if (!done && i < maxAttempts) Thread.sleep(cooldownSecs * 1000)
       }
-      // headline block = the attempt with the best scheduling efficiency;
-      // every attempt's spin probe + efficiencies are emitted alongside
-      val best = attempts.maxBy(_.schedEffBest)
-      val crawlRate = {
+      // headline block = best-scheduling attempt AMONG those passing all
+      // three gates (if any did) — when attempts exhaust, an attempt with
+      // the best sched but a throttled extract/kernel leg must not supply
+      // the reported extract/kernel numbers. Every attempt's spin probe +
+      // efficiencies are emitted alongside either way.
+      val gated = attempts.filter(a =>
+        a.schedEffBest >= 0.8 && a.extractEffBest >= 0.7 && a.kernelEff >= 0.7)
+      val best = (if (gated.nonEmpty) gated else attempts.toSeq)
+        .maxBy(_.schedEffBest)
+      val (crawlRate, crawlAmortJson) = {
         val s = session(32)
-        val (pages, secs) = crawlBench(s)
+        val r = crawlAmortBench(s)
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        (pages / secs).round
+        r
       }
       def block(v8: Seq[Double], v32: Seq[Double]): String = {
         val (m8, b8, m32, b32) = (median(v8), v8.max, median(v32), v32.max)
@@ -321,6 +362,7 @@ object Bench {
            |"spin_gops8":${f"${best.spin8}%.1f"},
            |"attempts":$attemptsJson,
            |"crawl_pages_per_sec_local32":$crawlRate,
+           |"crawl_amortization":$crawlAmortJson,
            |"sched_rows":$schedN,"extract_rows":$extractN}""".stripMargin.replace("\n", "")
     }
 

@@ -16,11 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q88,q84 → run only matching queries (dev loop);
-    // the driver leaves it unset and gets the full dump
+    // the driver leaves it unset and gets the full dump. A token matches
+    // the exact name or the name's prefix up to the underscore — substring
+    // matching made 'q1' silently select q10..q19 too.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
-      only.forall(_.exists(name.contains))
+      only.forall(_.exists(tok => name == tok || name.startsWith(tok + "_")))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -162,13 +162,18 @@ object Extract {
 
   /** Variant of extract_text_only (/root/reference/src/server.ts:3783-3831):
     * remove script/style/nav/header/footer/aside from the whole document,
-    * then body text, optional whitespace collapse. */
+    * then body text, optional whitespace collapse. The reference trims
+    * ONLY inside the removeWhitespace branch (:3811-3813) — the raw form
+    * keeps its leading/trailing whitespace verbatim. */
   def extractTextOnly(html: String, collapseWs: Boolean): String = {
     val doc = Html.parse(html)
     Selector.select(doc.root, "script, style, nav, header, footer, aside")
       .foreach(_.remove())
     val t = doc.body.text()
-    if (collapseWs) t.replaceAll("\\s+", " ").trim else t.trim
+    // JS /\s+/g is the Unicode class (JsWhitespace), not Java's ASCII \s;
+    // after the collapse every run is a single ASCII space, so Java trim
+    // ≡ JS trim on the result
+    if (collapseWs) t.replaceAll(JsWhitespace, " ").trim else t
   }
 
   // minimal JSON rendering (stable field order, matching extract.ts:259-264)

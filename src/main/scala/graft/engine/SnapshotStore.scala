@@ -25,18 +25,36 @@ final class SnapshotStore(rootDir: String) {
 
   private def dir(round: Int): Path = root.resolve(s"r$round")
 
+  private def rmTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** Commit one round with OPTIMISTIC CONCURRENCY (Iceberg-style: stage,
+    * then one atomic swap decides the winner). All data + the manifest are
+    * written to a writer-unique staging directory; the commit point is the
+    * single atomic rename of that staging dir onto `r<N>` — the filesystem
+    * guarantees at most one rename onto an existing non-empty directory
+    * succeeds, so when two writers race the same parent snapshot exactly
+    * one wins and the loser gets [[SnapshotStore.CommitConflictException]]
+    * with its staging cleaned up; it retries cleanly by reloading the
+    * winner's snapshot ([[loadLatest]]) and recomputing its round on top.
+    * Only the winner advances the `_current` pointer, so readers never see
+    * a half-written round. */
   def commit(spark: SparkSession, state: FrontierEngine.CrawlState,
       r: FrontierEngine.RoundResult): Unit = {
-    val d = dir(state.round)
-    state.frontier.write.mode("overwrite").parquet(d.resolve("frontier").toString)
+    val staging = root.resolve(
+      s"r${state.round}.staging.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(staging)
+    state.frontier.write.mode("overwrite").parquet(staging.resolve("frontier").toString)
     // seen is append-only: commit the O(delta) round delta, never the full
     // set — at 10^10 URLs a full per-round rewrite of the seen table would
     // dominate every round's I/O. Readers union the deltas (one multi-path
     // scan), exactly like pages/fetch_log.
-    r.seenDelta.write.mode("overwrite").parquet(d.resolve("seen").toString)
-    r.fetched.write.mode("overwrite").parquet(d.resolve("fetch_log").toString)
+    r.seenDelta.write.mode("overwrite").parquet(staging.resolve("seen").toString)
+    r.fetched.write.mode("overwrite").parquet(staging.resolve("fetch_log").toString)
     r.fetched.filter(org.apache.spark.sql.functions.col("status") === "OK")
-      .write.mode("overwrite").parquet(d.resolve("pages").toString)
+      .write.mode("overwrite").parquet(staging.resolve("pages").toString)
 
     // per-partition lineage + fetch/dedupe metrics
     import org.apache.spark.sql.functions._
@@ -55,10 +73,21 @@ final class SnapshotStore(rootDir: String) {
          |"parent":${if (state.round > 1) "\"r" + (state.round - 1) + "\"" else "null"},
          |"partitions":$byPartition,
          |"status_counts":$statusCounts}""".stripMargin.replace("\n", "")
-    Files.writeString(d.resolve("manifest.json"), manifest)
+    Files.writeString(staging.resolve("manifest.json"), manifest)
 
-    // atomic commit: write pointer to temp, then rename over _current
-    val tmp = root.resolve("_current.tmp")
+    // the commit point: atomically swing the staging dir onto r<N>. A
+    // concurrent winner makes this rename fail (non-empty destination) —
+    // optimistic concurrency resolved by the filesystem, not a lock.
+    val d = dir(state.round)
+    try Files.move(staging, d, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        rmTree(staging)
+        throw new SnapshotStore.CommitConflictException(state.round, e)
+    }
+
+    // winner-only: write pointer to temp, then rename over _current
+    val tmp = root.resolve(s"_current.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, s"r${state.round}")
     Files.move(tmp, root.resolve("_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -124,10 +153,6 @@ final class SnapshotStore(rootDir: String) {
       spark.read.parquet(paths: _*).write.mode("overwrite").parquet(tmp.toString)
       rmTree(d.resolve(sub)); Files.move(tmp, d.resolve(sub))
     }
-    def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
     compact("pages"); compact("fetch_log"); compact("seen")
     (1 until keepRound).foreach(i => rmTree(dir(i)))
   }
@@ -149,4 +174,14 @@ final class SnapshotStore(rootDir: String) {
         .getOrElse(fetched.count())
       FrontierEngine.CrawlState(frontier, seen, fetched, rN, count)
     }
+}
+
+object SnapshotStore {
+  /** Thrown when another writer committed the same round first (the
+    * atomic staging-dir rename found `r<N>` already present). The loser's
+    * staging is already cleaned up; retry by reloading the latest
+    * snapshot and recomputing the round on top of the winner's state. */
+  final class CommitConflictException(val round: Int, cause: Throwable)
+    extends RuntimeException(
+      s"round r$round was committed concurrently by another writer", cause)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full detect_language semantics (reference src/server.ts:4180-4233),
@@ -129,10 +129,77 @@ object LangDetect {
       Snippets.zipWithIndex.map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
         .mkString(" ") + " ELSE '' END"
 
-  /** The multilingual text: base doc + snippet repeated 1+doc_id%4 times,
-    * lowercased (reference lowercases the whole content, :4191). */
-  val MlTextSql: String =
-    s"lower(concat(text, ' ', repeat(($SnippetCaseSql) || ' ', CAST(1 + doc_id % 4 AS INT))))"
+  /** The multilingual text RAW (reference: extracted.content — original
+    * case; textSample samples THIS, :4233): base doc + snippet repeated
+    * 1+doc_id%4 times. */
+  val RawMlTextSql: String =
+    s"concat(text, ' ', repeat(($SnippetCaseSql) || ' ', CAST(1 + doc_id % 4 AS INT)))"
+
+  /** The detector input: the raw text lowercased (reference lowercases the
+    * whole content before matching, :4191). */
+  val MlTextSql: String = s"lower($RawMlTextSql)"
+
+  /** textSample = content.substring(0, 200) + '...' (:4233 — the '...' is
+    * appended unconditionally, even for content shorter than 200 chars).
+    * Samples the RAW content, not the lowercased detector input. */
+  def sampleSql(rawExpr: String): String = s"substr($rawExpr, 1, 200) || '...'"
+
+  // ---- the full detector projection, shared by q88 and q93 ---------------
+
+  /** Runs the whole detect_language output shape over an input that
+    * carries (doc_id, mlt = lowercased content, html_lang, text_sample).
+    * One implementation serves both the synthetic corpus (q88) and the
+    * real parsed-pages path (q93); [[detectSql]] is its DuckDB twin. */
+  def detect(ml: DataFrame): DataFrame = {
+    val withM = Families.foldLeft(ml.withColumn("w", words(col("mlt")))) {
+      (df, f) => df.withColumn(s"m_${f.code}", matches(col("mlt"), f))
+    }
+    val best = greatest(
+      Families.map(f => score(col(s"m_${f.code}"), col("w"), f)): _*)
+    val nDet = least(lit(5), Families.map(f =>
+      when(included(col(s"m_${f.code}"), col("w")), 1).otherwise(0))
+      .reduce(_ + _))
+    withM.withColumn("best", best)
+      .select(Seq(col("doc_id"), col("html_lang"), col("w")) ++
+        Families.map(f => col(s"m_${f.code}")) ++ Seq(
+          primaryLang(col("best")).as("primary_lang"),
+          primaryConf100(col("best")).as("primary_conf_x100"),
+          (col("best") >= 0 && primaryConf100(col("best")) >= 80)
+            .as("is_confident"),
+          nDet.as("n_detected"),
+          col("text_sample")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[detect]]: `mlSelect` must be a SELECT yielding
+    * (doc_id, mlt, html_lang, text_sample). */
+  def detectSql(mlSelect: String): String = {
+    val mCols = Families.map(f =>
+      s"${sqlMatches("mlt", f)} AS m_${f.code}").mkString(",\n    ")
+    val scores = Families.map(f =>
+      sqlScore(s"m_${f.code}", "w", f)).mkString(",\n      ")
+    val incSum = Families.map(f =>
+      s"CASE WHEN ${sqlIncluded(s"m_${f.code}", "w")} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ml AS (
+       |$mlSelect),
+       |m AS (
+       |  SELECT doc_id, html_lang, text_sample, ${sqlWords("mlt")} AS w,
+       |    $mCols
+       |  FROM ml),
+       |sc AS (
+       |  SELECT *, greatest(
+       |      $scores) AS best
+       |  FROM m)
+       |SELECT doc_id, html_lang, w,
+       |  ${Families.map(f => s"m_${f.code}").mkString(", ")},
+       |  ${sqlPrimaryLang("best")} AS primary_lang,
+       |  ${sqlPrimaryConf100("best")} AS primary_conf_x100,
+       |  (best >= 0 AND ${sqlPrimaryConf100("best")} >= 80) AS is_confident,
+       |  least(5, $incSum) AS n_detected,
+       |  text_sample
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   /** htmlLang: `$('html').attr('lang') || $('html').attr('xml:lang')` —
     * the JS `||` falls through EMPTY strings (falsy), not just missing

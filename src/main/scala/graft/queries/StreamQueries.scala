@@ -20,6 +20,36 @@ object StreamQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Literal-mode search_content scan over one document's lines with the
+    * reference's global-RegExp lastIndex carry-over (server.ts:1890-1911):
+    * the same `new RegExp(escaped, 'gi')` object is exec'd against every
+    * line; a match advances lastIndex to match-end and `break`s WITHOUT
+    * resetting it, so the next line's exec starts at that offset; a
+    * failing exec (no occurrence at >= lastIndex, or lastIndex beyond the
+    * line's end) resets lastIndex to 0 — and that line emits nothing.
+    * Returns (1-based line_no, 0-based pos, matched text as in the line).
+    * `termLower` must be lowercase; ASCII 'i'-flag matching ≡ comparing
+    * lowercased forms. */
+  private[queries] def literalScanCarry(lines: Array[String],
+      termLower: String): Seq[(Int, Int, String)] = {
+    val L = termLower.length
+    val out = Seq.newBuilder[(Int, Int, String)]
+    var lastIndex = 0
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      val idx =
+        if (lastIndex > line.length) -1
+        else line.toLowerCase.indexOf(termLower, lastIndex)
+      if (idx >= 0) {
+        out += ((li + 1, idx, line.substring(idx, idx + L)))
+        lastIndex = idx + L // successful exec advances; break skips reset
+      } else lastIndex = 0 // failed exec resets the shared pattern
+      li += 1
+    }
+    out.result()
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     // windowed event-time aggregation with watermark (monitor_uptime's
     // hourly stats, server.ts:6058-6075, as a continuous query). STRONG
@@ -113,9 +143,13 @@ object StreamQueries {
                |FROM ${OracleMat.src("q63")}
                |GROUP BY format ORDER BY format""".stripMargin)),
 
-    // search_content (server.ts:1852-1936): literal scan with ±50-char
-    // context, first match per document — SQL-oracled
-    QuerySpec("q19_search_content", (s, dir) => {
+    // SIMPLIFIED SMOKE VARIANT of search_content — first literal match
+    // per DOCUMENT, a deliberately reduced shape kept as a fast fully-
+    // declarative cross-engine probe. The reference-true form (per-line
+    // scan, regex + literal modes, positions, cap, and the literal-mode
+    // lastIndex carry-over) is q89; this one intentionally implements a
+    // semantics the reference does not have.
+    QuerySpec("q19_search_smoke", (s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val term = "spark"
       d.withColumn("pos", locate(term, col("text")))
@@ -142,12 +176,18 @@ object StreamQueries {
     // first-match-per-line for literals vs ALL matches per line for
     // regexes (the exec loop), 0-based JS match positions, the ±50-char
     // context window, and the maxResults=10 cap applied in scan order
-    // (line, then position) across the whole document. The corpus is
-    // single-line, so both engines first derive the same line structure
-    // (a newline after every 8 tokens). FULL cross-engine oracle: DuckDB
-    // recomputes every column from raw text — regex-match positions are
-    // rebuilt from the split-segments/matches interleaving, the same
-    // decomposition Spark uses.
+    // (line, then position) across the whole document — INCLUDING the
+    // reference's global-RegExp lastIndex carry-over: one 'g' pattern is
+    // reused across lines, and in literal mode the `break` after a match
+    // (:1910) leaves lastIndex at match-end, so the NEXT line's scan
+    // starts at that offset (a miss resets it to 0; a failing exec in
+    // regex mode also resets, so regex lines always scan from 0). The
+    // corpus is single-line, so both engines first derive the same line
+    // structure (a newline after every 8 tokens). FULL cross-engine
+    // oracle: DuckDB recomputes every column from raw text — the literal
+    // carry recurrence is rebuilt with a recursive CTE stepping line-by-
+    // line, and regex-match positions from the split-segments/matches
+    // interleaving, the same decomposition Spark uses.
     QuerySpec("q89_search_content_full", (s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val term = "SPARK" // literal mode: caseSensitive=false (the default)
@@ -158,14 +198,22 @@ object StreamQueries {
         .select(col("doc_id"),
           posexplode(split(col("wt"), "\n", -1)).as(Seq("p", "line")))
         .select(col("doc_id"), (col("p") + 1).as("line_no"), col("line"))
-      // literal: first match per line (the !useRegex break, :1910)
-      val pos1 = locate(term.toLowerCase, lower(col("line")))
-      val litRows = lines.filter(pos1 > 0)
-        .select(col("doc_id"), lit("literal").as("mode"), col("line_no"),
-          (pos1 - 1).as("pos0"),
-          expr(s"substr(line, locate('${term.toLowerCase}', lower(line)), ${term.length})")
-            .as("match_text"),
-          col("line"))
+      // literal: first match per line (the !useRegex break, :1910) WITH
+      // the carried lastIndex — a sequential per-document recurrence, so
+      // it runs as a per-row scalar kernel (embarrassingly parallel
+      // across documents; the narrow 100 TB shape)
+      import s.implicits._
+      val litRows = d
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n").as("wt"))
+        .as[(Long, String)]
+        .flatMap { case (id, wt) =>
+          val ls = wt.split("\n", -1)
+          literalScanCarry(ls, term.toLowerCase).map { case (ln, p0, m) =>
+            (id, "literal", ln, p0, m, ls(ln - 1))
+          }
+        }
+        .toDF("doc_id", "mode", "line_no", "pos0", "match_text", "line")
       // regex: every match per line; position k = len(segs[0..k]) +
       // len(matches[0..k-1]) from the non-overlapping interleaving
       val rxRows = lines
@@ -198,7 +246,7 @@ object StreamQueries {
         .select(col("doc_id"), col("mode"), col("line_no"), col("pos0"),
           col("match_text"), col("context"), col("n_results"))
         .orderBy(col("doc_id"), col("mode"), col("line_no"), col("pos0"))
-    }, Some("""WITH lines0 AS (
+    }, Some("""WITH RECURSIVE lines0 AS (
               |  SELECT doc_id,
               |    regexp_split_to_array(
               |      regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
@@ -208,12 +256,28 @@ object StreamQueries {
               |  SELECT doc_id, unnest(ls) AS line,
               |         unnest(generate_series(1, len(ls))) AS line_no
               |  FROM lines0),
+              |scan AS (
+              |  -- the literal-mode lastIndex recurrence, stepped line by
+              |  -- line per document: hit at >= carry advances the carry
+              |  -- to match-end; a miss resets it to 0 and emits nothing
+              |  SELECT doc_id, CAST(0 AS BIGINT) AS line_no, 0 AS carry,
+              |         CAST(NULL AS INTEGER) AS pos0, '' AS line
+              |  FROM (SELECT DISTINCT doc_id FROM lines)
+              |  UNION ALL
+              |  SELECT l.doc_id, l.line_no,
+              |    CASE WHEN strpos(substr(lower(l.line), s.carry + 1), 'spark') > 0
+              |         THEN s.carry + strpos(substr(lower(l.line), s.carry + 1), 'spark') - 1 + 5
+              |         ELSE 0 END AS carry,
+              |    CASE WHEN strpos(substr(lower(l.line), s.carry + 1), 'spark') > 0
+              |         THEN s.carry + strpos(substr(lower(l.line), s.carry + 1), 'spark') - 1
+              |         ELSE NULL END AS pos0,
+              |    l.line
+              |  FROM scan s
+              |  JOIN lines l ON l.doc_id = s.doc_id AND l.line_no = s.line_no + 1),
               |lit AS (
-              |  SELECT doc_id, 'literal' AS mode, line_no,
-              |    strpos(lower(line), 'spark') - 1 AS pos0,
-              |    substr(line, strpos(lower(line), 'spark'), 5) AS match_text,
-              |    line
-              |  FROM lines WHERE strpos(lower(line), 'spark') > 0),
+              |  SELECT doc_id, 'literal' AS mode, line_no, pos0,
+              |         substr(line, pos0 + 1, 5) AS match_text, line
+              |  FROM scan WHERE pos0 IS NOT NULL),
               |rxl AS (
               |  SELECT doc_id, line_no, line,
               |    regexp_extract_all(line, 's\w+') AS ms,

@@ -417,56 +417,72 @@ object TextQueries {
       (s, dir) => {
         import LangDetect._
         val d = t(s, dir, "documents")
-        val ml = d.select(col("doc_id"), expr(MlTextSql).as("mlt"),
-          expr(HtmlLangSql).as("html_lang"))
-        val withM = Families.foldLeft(ml.withColumn("w", words(col("mlt")))) {
-          (df, f) => df.withColumn(s"m_${f.code}", matches(col("mlt"), f))
-        }
-        val best = greatest(
-          Families.map(f => score(col(s"m_${f.code}"), col("w"), f)): _*)
-        val nDet = least(lit(5), Families.map(f =>
-          when(included(col(s"m_${f.code}"), col("w")), 1).otherwise(0))
-          .reduce(_ + _))
-        withM.withColumn("best", best)
-          .select(Seq(col("doc_id"), col("html_lang"), col("w")) ++
-            Families.map(f => col(s"m_${f.code}")) ++ Seq(
-              primaryLang(col("best")).as("primary_lang"),
-              primaryConf100(col("best")).as("primary_conf_x100"),
-              (col("best") >= 0 && primaryConf100(col("best")) >= 80)
-                .as("is_confident"),
-              nDet.as("n_detected")): _*)
-          .orderBy(col("doc_id"))
+        detect(d.select(col("doc_id"), expr(MlTextSql).as("mlt"),
+          expr(HtmlLangSql).as("html_lang"),
+          expr(sampleSql(RawMlTextSql)).as("text_sample")))
       },
       Some {
         import LangDetect._
-        val mCols = Families.map(f =>
-          s"${sqlMatches("mlt", f)} AS m_${f.code}").mkString(",\n    ")
-        val scores = Families.map(f =>
-          sqlScore(s"m_${f.code}", "w", f)).mkString(",\n      ")
-        val incSum = Families.map(f =>
-          s"CASE WHEN ${sqlIncluded(s"m_${f.code}", "w")} THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH ml AS (
-           |  SELECT doc_id, $MlTextSql AS mlt,
-           |         $HtmlLangSql AS html_lang
-           |  FROM documents),
-           |m AS (
-           |  SELECT doc_id, html_lang, ${sqlWords("mlt")} AS w,
-           |    $mCols
-           |  FROM ml),
-           |sc AS (
-           |  SELECT *, greatest(
-           |      $scores) AS best
-           |  FROM m)
-           |SELECT doc_id, html_lang, w,
-           |  ${Families.map(f => s"m_${f.code}").mkString(", ")},
-           |  ${sqlPrimaryLang("best")} AS primary_lang,
-           |  ${sqlPrimaryConf100("best")} AS primary_conf_x100,
-           |  (best >= 0 AND ${sqlPrimaryConf100("best")} >= 80) AS is_confident,
-           |  least(5, $incSum) AS n_detected
-           |FROM sc ORDER BY doc_id""".stripMargin
+        detectSql(s"""  SELECT doc_id, $MlTextSql AS mlt,
+           |         $HtmlLangSql AS html_lang,
+           |         ${sampleSql(RawMlTextSql)} AS text_sample
+           |  FROM documents""".stripMargin)
       }),
 
+    // --- detect_language over REAL PARSED PAGES (the reference's actual
+    //     integration path, server.ts:4181-4233: fetch -> cheerio.load ->
+    //     $('html').attr('lang') || attr('xml:lang') -> extractContent ->
+    //     detector over extracted.content.toLowerCase() -> textSample).
+    //     The pages are deterministic HTML wrapping the same multilingual
+    //     corpus as q88, with a doc_id-keyed mix of lang="fam",
+    //     lang="" + xml:lang (the falsy fallthrough, '' || x -> x), only
+    //     xml:lang, and no attr at all. The KERNEL (Html parse -> root
+    //     attrs -> full extract pipeline) materializes per-page rows; the
+    //     oracle recomputes EVERYTHING downstream — the fallthrough, the
+    //     ten-family detector and the sample — from the raw attrs +
+    //     content, sharing [[LangDetect.detectSql]] with q88. ---------------
+    QuerySpec(
+      "q93_lang_detect_pages",
+      (s, dir) => {
+        import s.implicits._
+        import LangDetect._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("long"), expr(RawMlTextSql).as("raw"),
+            expr(FamCodeSql).as("fam"))
+        val kernel = docs.as[(Long, String, String)].map { case (id, raw, fam) =>
+          val attr = (id % 4) match {
+            case 0 => s""" lang="$fam""""
+            case 1 => s""" lang="" xml:lang="x-$fam"""" // '' is falsy -> xml:lang wins
+            case 2 => s""" xml:lang="$fam""""
+            case _ => ""
+          }
+          val html =
+            s"""<!DOCTYPE html>
+               |<html$attr><head><title>Doc $id</title></head>
+               |<body><main><p>$raw</p></main></body></html>""".stripMargin
+          val doc = graft.core.Html.parse(html)
+          val e = graft.core.Extract.extract(html, s"http://docs.example/$id", 0L)
+          (id, doc.root.attr("lang").getOrElse(""),
+            doc.root.attr("xml:lang").getOrElse(""), e.content)
+        }.toDF("doc_id", "lang_attr", "xml_lang_attr", "content")
+        // identical SQL text on both sides for every downstream expression
+        val ml = OracleMat(s, "q93")(kernel).select(col("doc_id"),
+          expr("lower(content)").as("mlt"),
+          expr("""CASE WHEN lang_attr <> '' THEN lang_attr
+                 |     WHEN xml_lang_attr <> '' THEN xml_lang_attr
+                 |     ELSE '' END""".stripMargin).as("html_lang"),
+          expr(sampleSql("content")).as("text_sample"))
+        detect(ml)
+      },
+      Some {
+        import LangDetect._
+        detectSql(s"""  SELECT doc_id, lower(content) AS mlt,
+           |         CASE WHEN lang_attr <> '' THEN lang_attr
+           |              WHEN xml_lang_attr <> '' THEN xml_lang_attr
+           |              ELSE '' END AS html_lang,
+           |         ${sampleSql("content")} AS text_sample
+           |  FROM ${OracleMat.src("q93")}""".stripMargin)
+      }),
     // --- sentiment_analysis, FULL granularity semantics (server.ts:4311-
     //     4405): overall + paragraph (split /\n\s*\n/) + sentence (split
     //     /[.!?]+/, first 20) modes, each through the same analyzeSentiment

@@ -429,6 +429,61 @@ object ToolQueries {
               |         len(list_filter(regexp_split_to_array(text, '\s+'),
               |             x -> x <> '')) / 500.0) AS INT)) AS pdf_pages,
               |       substr('[es] ' || text, 1, 12) AS translated_prefix
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // extract-variant residue — the last three golden-only sub-features get
+    // their driver row: maxLength truncation + '*[Content truncated]*'
+    // marker (extract.ts:273-275), the citation string with the injected
+    // clock (extract.ts:191-202, date 2024-01-15), and extract_text_only
+    // with AND without whitespace collapse (server.ts:3783-3831 — the raw
+    // form is NOT trimmed; only the removeWhitespace branch collapses +
+    // trims). The kernel materializes the raw per-page outputs; the oracle
+    // INDEPENDENTLY RECOMPUTES every semantic column — the truncated
+    // content from the full content, the citation from title/author/url,
+    // the collapsed text from the raw text, and both word counts — so a
+    // hash match proves the kernel's truncation/citation/collapse rules,
+    // not a parquet round-trip.
+    QuerySpec("q92_extract_variants", (s, _) => {
+      import s.implicits._
+      val clockMs = 1705276800000L // 2024-01-15T00:00:00Z
+      val kernel = pages(s).as[(String, String)].map { case (u, h) =>
+        val full = graft.core.Extract.extract(h, u, clockMs)
+        val trunc = graft.core.Extract.extract(h, u, clockMs,
+          graft.core.Extract.Options(maxLength = 800))
+        val raw = graft.core.Extract.extractTextOnly(h, collapseWs = false)
+        val collapsed = graft.core.Extract.extractTextOnly(h, collapseWs = true)
+        (u, full.title, full.author.getOrElse(""), full.content,
+          trunc.content, trunc.wordCount, full.citation, raw, collapsed,
+          graft.core.Extract.countWords(collapsed))
+      }.toDF("url", "title", "author", "full_content", "trunc_content",
+        "wc_trunc", "citation", "text_raw", "text_collapsed", "wc_text")
+      OracleMat(s, "q92")(kernel)
+        .withColumn("was_truncated", length(col("full_content")) > 800)
+        .withColumn("text_raw_len", length(col("text_raw")))
+        .withColumn("text_len", length(col("text_collapsed")))
+        .orderBy("url")
+    }, Some(s"""SELECT url, title, author, full_content,
+               |  CASE WHEN length(full_content) > 800
+               |       THEN substr(full_content, 1, 800)
+               |            || chr(10) || chr(10) || '*[Content truncated]*'
+               |       ELSE full_content END AS trunc_content,
+               |  len(list_filter(regexp_split_to_array(
+               |    CASE WHEN length(full_content) > 800
+               |         THEN substr(full_content, 1, 800)
+               |              || chr(10) || chr(10) || '*[Content truncated]*'
+               |         ELSE full_content END, '\\s+'), x -> x <> '')) AS wc_trunc,
+               |  '**' || title || '**'
+               |    || CASE WHEN author <> '' THEN ' by ' || author ELSE '' END
+               |    || chr(10) || '*Source: [' || url || '](' || url || ')*'
+               |    || chr(10) || '*Fetched: 2024-01-15*' || chr(10) AS citation,
+               |  text_raw,
+               |  trim(regexp_replace(text_raw, '\\s+', ' ', 'g')) AS text_collapsed,
+               |  len(list_filter(regexp_split_to_array(
+               |    trim(regexp_replace(text_raw, '\\s+', ' ', 'g')), '\\s+'),
+               |    x -> x <> '')) AS wc_text,
+               |  length(full_content) > 800 AS was_truncated,
+               |  length(text_raw) AS text_raw_len,
+               |  length(trim(regexp_replace(text_raw, '\\s+', ' ', 'g'))) AS text_len
+               |FROM ${OracleMat.src("q92")} ORDER BY url""".stripMargin))
   )
 }

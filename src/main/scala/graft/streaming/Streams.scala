@@ -79,12 +79,18 @@ object Streams {
     * only until the watermark passes its event time + delay, so state is
     * O(hashes inside the delay window), not O(every hash ever ingested) —
     * duplicates farther apart than the delay re-emit (by design; see
-    * StreamsSpec's multi-batch eviction test). The driver query derives
-    * the ingest time FROM the content hash, so all duplicates of a hash
-    * share one event time and the output equals the batch DISTINCT
-    * exactly — deterministic under any file/batch arrival order. */
+    * StreamsSpec's multi-batch eviction test, which drives its own
+    * timestamps + delay to prove eviction). The driver query derives the
+    * ingest time FROM the content hash, so all duplicates of a hash share
+    * one event time; the hash-derived times span a 3600 s window, and the
+    * DEFAULT delay (70 min) exceeds that spread — so no row can ever be
+    * late no matter how the source splits files into micro-batches
+    * (maxFilesPerTrigger etc.), no state row is evicted mid-run, and the
+    * output equals the batch DISTINCT unconditionally. A sub-spread delay
+    * would silently drop hashes as late data if the input ever arrived in
+    * more than one micro-batch. */
   def streamDedupBounded(spark: SparkSession, inputDir: String,
-      queryName: String, delay: String = "10 minutes"): DataFrame = {
+      queryName: String, delay: String = "70 minutes"): DataFrame = {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       .select(md5(col("text").cast("binary")).as("content_hash"))
@@ -101,10 +107,29 @@ object Streams {
     spark.table(queryName).select("content_hash").orderBy("content_hash")
   }
 
-  /** Gap-based sessionization with mapGroupsWithState (processing-time
-    * batch drive; state = open session per user). */
+  /** Test-observable instrumentation for the bounded session buffer (local
+    * mode shares the JVM; on a cluster these are per-executor and harmless).
+    * High-water mark of events buffered for any single (user, chunk), and
+    * the count of forced chunk-boundary session splits. */
+  val sessionBufferHighWater = new java.util.concurrent.atomic.AtomicInteger(0)
+  val sessionForcedSplits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Gap-based sessionization with flatMapGroupsWithState (processing-time
+    * batch drive; state = open session per user).
+    *
+    * Per-task memory is bounded by MECHANISM, not convention: a user's
+    * micro-batch slice is consumed in chunks of at most `maxBuffered`
+    * events. Each chunk is sorted and run through the gap logic; if more
+    * events remain after a chunk, the open session is FORCE-CLOSED at the
+    * chunk boundary (emitted as a session, counted in
+    * [[sessionForcedSplits]]) so the buffer can be released. A forced
+    * split can only alter semantics for a user exceeding `maxBuffered`
+    * events in ONE micro-batch — the default (100k) is far above any
+    * test-scale per-user rate, and StreamsSpec drives a pathological
+    * single-user batch with a tiny bound to prove memory stays bounded
+    * while event counts are conserved. */
   def sessionize(spark: SparkSession, inputDir: String, queryName: String,
-      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+      gapMs: Long = 30 * 60 * 1000L, maxBuffered: Int = 100000): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
@@ -117,23 +142,40 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-sorted within group; emit closed sessions on gaps.
-          // NOTE: materializes ONE USER's single-microbatch slice (not the
-          // full history — state carries only the open session between
-          // batches), so per-task memory is bounded by trigger interval ×
-          // per-user event rate; a pathological single-user burst should be
-          // bounded upstream by trigger sizing or rate limiting
-          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[Session]()
           var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n == 0) st = SessionState(t, t, 1)
-            else if (t - st.last > gapMs) {
-              out += Session(userId, st.start, st.last, st.n)
-              st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+          val buf = scala.collection.mutable.ArrayBuffer[Event]()
+          def runChunk(): Unit = {
+            val n = buf.length
+            var hw = sessionBufferHighWater.get()
+            while (n > hw && !sessionBufferHighWater.compareAndSet(hw, n))
+              hw = sessionBufferHighWater.get()
+            val sorted = buf.sortBy(e => (e.ts.getTime, e.event_id))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.n == 0) st = SessionState(t, t, 1)
+              else if (t - st.last > gapMs) {
+                out += Session(userId, st.start, st.last, st.n)
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, t, st.n + 1)
+            }
+            buf.clear()
           }
+          events.foreach { e =>
+            if (buf.length >= maxBuffered) {
+              // flush BEFORE admitting the overflowing event: `e` proves
+              // more input follows, so the open session must be released
+              // (forced split) — a final chunk never force-closes
+              runChunk()
+              if (st.n > 0) {
+                out += Session(userId, st.start, st.last, st.n)
+                st = SessionState(-1L, -1L, 0)
+                sessionForcedSplits.incrementAndGet()
+              }
+            }
+            buf += e
+          }
+          runChunk()
           state.update(st)
           out.iterator
       }

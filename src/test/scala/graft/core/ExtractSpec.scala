@@ -140,6 +140,18 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.extractTextOnly(html, collapseWs = true) == "keep")
   }
 
+  test("extractTextOnly raw form is NOT trimmed (server.ts:3805-3813)") {
+    // the reference trims only inside the removeWhitespace branch: the raw
+    // $('body').text() keeps its surrounding whitespace verbatim
+    val html = body(" <p>a</p> <p>b</p> ")
+    val raw = Extract.extractTextOnly(html, collapseWs = false)
+    assert(raw != raw.trim, s"raw text was trimmed: [$raw]")
+    assert(Extract.extractTextOnly(html, collapseWs = true) == "a b")
+    // JS /\s+/ is the Unicode class: &nbsp; collapses too
+    val nb = body("<p>x  y</p>")
+    assert(Extract.extractTextOnly(nb, collapseWs = true) == "x y")
+  }
+
   test("summarize: greedy top-scored sentences (extract.ts:294-340)") {
     val text = "This is the first long sentence of the content. " +
       "Second sentence is also fairly long indeed. Short one. " +

@@ -133,6 +133,70 @@ class CrawlSpec extends AnyFunSuite {
     assert(m.contains("\"status_counts\""))
   }
 
+  test("optimistic concurrency: two writers race one parent, exactly one wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("crawl-occ").toString
+    val store = new SnapshotStore(dir)
+    def mk(tag: String, round: Int) = {
+      val fetched = Seq((s"http://h0.example/$tag", tag.hashCode.toLong, "h0.example",
+          0, round, 0L, 0, "OK", tag, s"text of $tag", ""))
+        .toDF("url", "url_hash", "host", "depth", "round", "order_idx",
+          "partition_id", "status", "title", "text", "etag")
+      val st = FrontierEngine.CrawlState(
+        frontier = FrontierEngine.seedFrontier(spark, Seq("http://h0.example/")).toDF(),
+        seen = Seq.empty[(Long, String)].toDF("url_hash", "url"),
+        fetched = fetched, round = round, fetchedCount = 1L)
+      val r = FrontierEngine.RoundResult(fetched,
+        FrontierEngine.seedFrontier(spark, Seq("http://h0.example/next")),
+        Seq((tag.hashCode.toLong, s"http://h0.example/$tag")).toDF("url_hash", "url"),
+        taken = 1L)
+      (st, r)
+    }
+    // both writers derive round 1 from the same (empty) parent snapshot
+    // and race the commit — the atomic staging-dir rename means EXACTLY
+    // one can win, no matter how the writes interleave
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val threads = Seq("writerA", "writerB").map { tag =>
+      val t = new Thread(() => {
+        val (st, r) = mk(tag, 1)
+        gate.await()
+        try store.commit(spark, st, r)
+        catch { case e: Throwable => results.put(tag, e) }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(results.size == 1, s"expected exactly one loser, got: $results")
+    val (loser, err) = { val e = results.entrySet().iterator().next(); (e.getKey, e.getValue) }
+    assert(err.isInstanceOf[SnapshotStore.CommitConflictException],
+      s"loser failed with ${err.getClass}: ${err.getMessage}")
+    val winner = if (loser == "writerA") "writerB" else "writerA"
+
+    // the committed snapshot is EXACTLY the winner's — no torn mix
+    assert(store.currentRound.contains(1))
+    val committed = store.loadLatest(spark).get
+    val titles = committed.fetched.select("title").collect().map(_.getString(0)).toSeq
+    assert(titles == Seq(winner), s"r1 holds $titles, winner was $winner")
+    assert(store.manifest(1).get.contains("\"round\":1"))
+    // no staging residue survives the conflict
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(leftovers)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(!names.exists(_.contains("staging")), s"staging left behind: $names")
+
+    // the loser retries cleanly: reload the winner's snapshot, recompute
+    // on top (round 2), commit succeeds
+    assert(store.loadLatest(spark).get.round == 1)
+    val (st2, r2) = mk(loser, 2)
+    store.commit(spark, st2, r2)
+    assert(store.currentRound.contains(2))
+    val all = store.loadLatest(spark).get.fetched
+      .select("title").collect().map(_.getString(0)).toSet
+    assert(all == Set(winner, loser))
+  }
+
   test("bloom prefilter never produces false negatives (no lost URLs)") {
     import spark.implicits._
     val hashes = (0L until 5000L).map(i => graft.core.UrlNorm.urlHash(s"http://h$i.example/"))

@@ -155,6 +155,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"q90 grew $exchanges exchanges:\n${p.take(1500)}")
   }
 
+  test("q92/q93 downstream of the kernel stays a narrow single-scan pipeline") {
+    // both queries materialize a per-row kernel (extract variants / parsed
+    // lang attrs) then project+derive per row: the only exchange allowed
+    // in the final plan is the presentation orderBy's range partitioning
+    Seq("q92_extract_variants", "q93_lang_detect_pages").foreach { q =>
+      val p = plan(q)
+      val exchanges = finalPlanExchanges(p)
+      assert(exchanges <= 1, s"$q grew $exchanges exchanges:\n${p.take(1500)}")
+    }
+  }
+
   test("q20 minhash candidate join carries no token arrays through any exchange") {
     val p = plan("q20_minhash_lsh")
     // at small scale AQE may broadcast the band side instead of shuffling;

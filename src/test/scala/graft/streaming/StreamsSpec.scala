@@ -84,4 +84,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(lastState.get.numRowsTotal < 4,
       s"state grew unbounded: ${lastState.get.numRowsTotal} rows")
   }
+
+  test("sessionize bounds per-user buffering by mechanism (forced splits)") {
+    import spark.implicits._
+    // pathological batch: ONE user floods 5000 events into a single
+    // micro-batch — orders of magnitude past the tiny maxBuffered bound
+    val dir = Files.createTempDirectory("sess-burst")
+    val t0 = 1700000000000L
+    val events = (0 until 5000).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 1L, "click", 0.0)
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+
+    Streams.sessionBufferHighWater.set(0)
+    Streams.sessionForcedSplits.set(0L)
+    val out = Streams.sessionize(spark, dir.toString, "sess_burst_spec",
+      gapMs = 30 * 60 * 1000L, maxBuffered = 256)
+    val row = out.collect()
+    val emitted = spark.table("sess_burst_spec")
+
+    // memory stayed bounded by the mechanism: no chunk ever buffered more
+    // than maxBuffered events, despite the 5000-event single-user batch
+    val hw = Streams.sessionBufferHighWater.get()
+    assert(hw <= 256 && hw > 0, s"buffer high-water $hw vs bound 256")
+    // the bound was enforced via forced chunk-boundary splits...
+    val forced = Streams.sessionForcedSplits.get()
+    assert(forced >= 5000 / 256 - 1, s"only $forced forced splits")
+    // ...and no event was lost: emitted sessions + the open session left
+    // in state account for all 5000 (1s cadence => one logical session,
+    // chopped only by the forced splits)
+    val emittedEvents = emitted.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(emittedEvents >= 5000 - 256 && emittedEvents < 5000,
+      s"emitted $emittedEvents of 5000 (at most one open chunk stays in state)")
+    // chunk boundaries (iterator order) may add genuine gap splits on top
+    // of the forced ones, so sessions >= forced splits
+    assert(row.nonEmpty && row(0).getLong(1) >= forced,
+      s"n_sessions ${row(0).getLong(1)} < forced splits $forced")
+  }
 }
