@@ -200,7 +200,8 @@ object Bench {
     var rounds = 0L
     val (pages, secs) = time {
       val (fetched, _) = engine.FrontierEngine.crawl(spark, seedList, cfg)
-      val agg = fetched.agg(count(lit(1)), max(col("round"))).collect()(0)
+      val agg = fetched.agg(count(lit(1)).cast("long"),
+        max(col("round")).cast("long")).collect()(0)
       rounds = agg.getLong(1) + 1
       agg.getLong(0)
     }
@@ -250,6 +251,15 @@ object Bench {
     val schedN = sys.env.getOrElse("SPARK_GRAFT_SCHED_N", "64000000").toLong
     val extractN = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_N", "800000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
+    // dev loop: run ONLY the crawl-amortization curve and exit
+    if (sys.env.get("SPARK_GRAFT_AMORT_ONLY").contains("1")) {
+      val s = session(cpus)
+      val (rate, json) = crawlAmortBench(s)
+      println(s"""{"metric":"crawl_amortization","crawl_pages_per_sec_local32":$rate,"crawl_amortization":$json}""")
+      s.stop()
+      return
+    }
 
     // ---- scaling runs: same job at both parallelism levels --------------
     var scalingJson = ""
