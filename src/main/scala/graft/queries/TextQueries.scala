@@ -409,9 +409,11 @@ object TextQueries {
     //     ja 8-literal-chars quirk at :4202), htmlLang lang||xml:lang
     //     falsy-fallthrough precedence, the min(1, m/(w*0.1)) confidence
     //     formula with 2-dp rounding, candidate threshold on the UNROUNDED
-    //     value, stable-sort primary selection, isConfident >= 0.8. Runs
-    //     over a synthetic multilingual corpus both engines derive from
-    //     documents with one shared SQL expression. --------------------------
+    //     value, stable-sort primary selection, isConfident >= 0.8, and
+    //     textSample substring(0,200)+'...' (:4233). Runs over a synthetic
+    //     multilingual corpus both engines derive from documents with one
+    //     shared SQL expression; q93 is the same detector over REAL parsed
+    //     pages. ----------------------------------------------------------
     QuerySpec(
       "q88_lang_detect_full",
       (s, dir) => {
@@ -483,6 +485,7 @@ object TextQueries {
            |         ${sampleSql("content")} AS text_sample
            |  FROM ${OracleMat.src("q93")}""".stripMargin)
       }),
+
     // --- sentiment_analysis, FULL granularity semantics (server.ts:4311-
     //     4405): overall + paragraph (split /\n\s*\n/) + sentence (split
     //     /[.!?]+/, first 20) modes, each through the same analyzeSentiment
