@@ -75,7 +75,11 @@ object FrontierEngine {
       fetched: DataFrame, // FetchedRow sans links
       newFrontier: Dataset[FrontierRow],
       seenDelta: DataFrame, // (url_hash, url)
-      taken: Long)
+      taken: Long,
+      /** release the round's transient caches — call AFTER newFrontier and
+        * seenDelta have been materialized (checkpoint/commit); the fetched
+        * cache is NOT released here (later rounds union it). */
+      cleanup: () => Unit = () => ())
 
   def seedFrontier(spark: SparkSession, seeds: Seq[String]): Dataset[FrontierRow] = {
     import spark.implicits._
@@ -91,14 +95,20 @@ object FrontierEngine {
       cfg: Config): RoundResult = {
     import spark.implicits._
 
-    // 1. within-frontier dedupe: first discovery (min FIFO seq) wins
+    // 1. within-frontier dedupe: first discovery (min FIFO seq) wins.
+    //    Grouped on url_hash ALONE (url/host ride the min-struct): identity
+    //    is the 64-bit hash everywhere in this engine (the seen set, the
+    //    Bloom filter), and single-key grouping leaves the frame
+    //    hash-partitioned on exactly the anti-join key, so step 2 reuses
+    //    this exchange instead of reshuffling the whole frontier.
     val deduped = frontier
       .filter(col("depth") <= cfg.maxDepth)
-      .groupBy(col("url_hash"), col("url"), col("host"))
+      .groupBy(col("url_hash"))
       .agg(
         min(struct(col("parent_order"), col("link_pos"), col("depth"),
-          col("priority"), col("next_fetch_time"))).as("seq"))
-      .select(col("url_hash"), col("url"), col("host"),
+          col("priority"), col("next_fetch_time"), col("url"), col("host")))
+          .as("seq"))
+      .select(col("url_hash"), col("seq.url").as("url"), col("seq.host").as("host"),
         col("seq.depth").as("depth"),
         col("seq.parent_order").as("parent_order"),
         col("seq.link_pos").as("link_pos"),
@@ -126,7 +136,14 @@ object FrontierEngine {
     val wHost = Window.partitionBy(col("host"))
       .orderBy(col("priority"), col("next_fetch_time"),
         col("parent_order"), col("link_pos"))
-    val ranked = fresh.withColumn("host_rank", row_number().over(wHost))
+    // persist the ranked frontier for the round: THREE consumers re-read it
+    // (the range-partitioner's sample pass, the FIFO-index shuffle, and the
+    // deferred branch of the next frontier) — uncached, the whole
+    // dedupe→anti-join→window pipeline re-executed once per consumer.
+    // Dataset.persist defaults to MEMORY_AND_DISK (spills, never OOMs);
+    // size is O(one round's frontier) and it is released by
+    // RoundResult.cleanup as soon as the round's outputs are materialized.
+    val ranked = fresh.withColumn("host_rank", row_number().over(wHost)).persist()
     val budgeted = ranked.filter(col("host_rank") <= cfg.hostBudget)
     val deferredBase = ranked.filter(col("host_rank") > cfg.hostBudget)
     val deferredByBudget = (if (cfg.deferSeconds > 0)
@@ -212,7 +229,8 @@ object FrontierEngine {
       fetched = fetchedCached.drop("links"),
       newFrontier = deferredByBudget.union(overflow).union(children),
       seenDelta = seenDelta,
-      taken = takenCount)
+      taken = takenCount,
+      cleanup = () => { ranked.unpersist(false); () })
   }
 
   /** Union-plan collapse interval for iterative crawls (see [[crawl]]). */
@@ -316,6 +334,9 @@ object FrontierEngine {
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
         store.foreach(_.commit(spark, newState, r))
+        // frontier + seen delta are materialized (and committed) — release
+        // the round's transient ranked-frontier cache
+        r.cleanup()
         // the per-round delta checkpoints keep LINEAGE flat, but the union
         // TREE itself still deepens one node per round — a 10^4-round crawl
         // would accrete a 10^4-way union plan on the driver. Collapse it
