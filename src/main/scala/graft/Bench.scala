@@ -189,13 +189,15 @@ object Bench {
     * multi-round crawl (dedupe → budget → fetch → extract, commit-free).
     * Returns (pages, rounds, secs). */
   private def crawlPoint(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
-      seeds: Int, budget: Int, maxDepth: Int, maxPages: Int): (Long, Long, Double) = {
+      seeds: Int, budget: Int, maxDepth: Int, maxPages: Int,
+      seenIndex: Boolean = false): (Long, Long, Double) = {
     val web = engine.SyntheticWeb.Config(
       nHosts = nHosts, pagesPerHost = pagesPerHost, megaFactor = 4,
       linksPerPage = 12)
     val cfg = engine.FrontierEngine.Config(
       maxDepth = maxDepth, maxPages = maxPages, hostBudget = budget,
-      sameHostOnly = false, respectRobots = true, saltBuckets = 8, web = web)
+      sameHostOnly = false, respectRobots = true, saltBuckets = 8, web = web,
+      exactSeenIndex = seenIndex)
     val seedList = (0 until seeds).map(h => engine.SyntheticWeb.pageUrl(h, 0))
     var rounds = 0L
     val (pages, secs) = time {
@@ -208,6 +210,37 @@ object Bench {
     (pages, rounds, secs)
   }
 
+  /** Seen-membership microbench at the seen-heavy ratio (seen >> round
+    * candidates) where the anti-join's O(seen) per-round shuffle dominates:
+    * one round's membership test over `candN` candidates against a
+    * `seenN`-hash seen set, (a) as the exact anti-join (shuffles the whole
+    * seen table), (b) as a [[engine.SeenIndex]] probe (seen resident; only
+    * candidates move). The index build is reported separately — a crawl
+    * pays it once, then O(delta) merges per round. */
+  private def membershipBench(spark: SparkSession, seenN: Long, candN: Long)
+      : String = {
+    val seen = spark.range(seenN)
+      .select(xxhash64(col("id")).as("url_hash"), lit("u").as("url"))
+    // candidates: half seen (same hash derivation), half fresh
+    val cand = spark.range(candN)
+      .select(when(col("id") % 2 === 0, xxhash64(col("id") * 2))
+        .otherwise(xxhash64(-col("id") - 1) + lit(1)).as("url_hash"))
+    val (aRows, aSecs) = time {
+      cand.join(seen.select("url_hash"), Seq("url_hash"), "left_anti").count()
+    }
+    val (idx, buildSecs) = time {
+      engine.SeenIndex.fromSeen(spark, seen,
+        engine.SeenIndex.bucketsFor(spark, seenN))
+    }
+    val (bRows, bSecs) = time {
+      engine.SeenIndex.split(spark, cand, idx)._1.count()
+    }
+    require(aRows == bRows, s"membership divergence: anti=$aRows index=$bRows")
+    s"""{"seen_rows":$seenN,"cand_rows":$candN,"fresh_rows":$aRows,
+       |"anti_join_secs":${f"$aSecs%.2f"},"index_probe_secs":${f"$bSecs%.2f"},
+       |"index_build_secs":${f"$buildSecs%.2f"}}""".stripMargin.replace("\n", "")
+  }
+
   /** Crawl-round amortization curve: the same end-to-end pipeline at three
     * round sizes (per-host budget × active hosts). At toy round sizes the
     * per-round fixed cost (job scheduling, shuffle setup, plan work)
@@ -216,13 +249,16 @@ object Bench {
     * the 100 TB regime, where a round fetches millions of pages, sits far
     * to the right of the largest point. */
   private def crawlAmortBench(spark: SparkSession): (Long, String) = {
-    // (label, hosts, pages/host, seeds, budget, depth, maxPages)
+    // (label, hosts, pages/host, seeds, budget, depth, maxPages, seenIndex)
     val points = Seq(
-      ("small_rounds", 64, 2000, 32, 100, 4, 20000),
-      ("medium_rounds", 64, 2000, 32, 1000, 4, 20000),
-      ("large_rounds", 256, 2000, 128, 4000, 8, 200000))
-    val rows = points.map { case (label, h, pph, seeds, budget, depth, maxP) =>
-      val (pages, rounds, secs) = crawlPoint(spark, h, pph, seeds, budget, depth, maxP)
+      ("small_rounds", 64, 2000, 32, 100, 4, 20000, false),
+      ("medium_rounds", 64, 2000, 32, 1000, 4, 20000, false),
+      // same medium point with the resident exact seen index (O(delta)
+      // membership instead of the O(seen) anti-join shuffle) — direct A/B
+      ("medium_rounds_seen_index", 64, 2000, 32, 1000, 4, 20000, true),
+      ("large_rounds", 256, 2000, 128, 4000, 8, 200000, false))
+    val rows = points.map { case (label, h, pph, seeds, budget, depth, maxP, idx) =>
+      val (pages, rounds, secs) = crawlPoint(spark, h, pph, seeds, budget, depth, maxP, idx)
       val perRound = if (rounds > 0) pages / rounds else 0L
       (label, pages, rounds, perRound, (pages / secs).round)
     }
@@ -252,11 +288,12 @@ object Bench {
     val extractN = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_N", "800000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
-    // dev loop: run ONLY the crawl-amortization curve and exit
+    // dev loop: run ONLY the crawl-amortization curve + membership A/B
     if (sys.env.get("SPARK_GRAFT_AMORT_ONLY").contains("1")) {
       val s = session(cpus)
       val (rate, json) = crawlAmortBench(s)
-      println(s"""{"metric":"crawl_amortization","crawl_pages_per_sec_local32":$rate,"crawl_amortization":$json}""")
+      val mem = membershipBench(s, 32000000L, 2000000L)
+      println(s"""{"metric":"crawl_amortization","crawl_pages_per_sec_local32":$rate,"crawl_amortization":$json,"seen_membership":$mem}""")
       s.stop()
       return
     }
@@ -341,12 +378,13 @@ object Bench {
         a.schedEffBest >= 0.8 && a.extractEffBest >= 0.7 && a.kernelEff >= 0.7)
       val best = (if (gated.nonEmpty) gated else attempts.toSeq)
         .maxBy(_.schedEffBest)
-      val (crawlRate, crawlAmortJson) = {
+      val (crawlRate, crawlAmortJson, membershipJson) = {
         val s = session(32)
-        val r = crawlAmortBench(s)
+        val (rate, amort) = crawlAmortBench(s)
+        val mem = membershipBench(s, 32000000L, 2000000L)
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        r
+        (rate, amort, mem)
       }
       def block(v8: Seq[Double], v32: Seq[Double]): String = {
         val (m8, b8, m32, b32) = (median(v8), v8.max, median(v32), v32.max)
@@ -373,6 +411,7 @@ object Bench {
            |"attempts":$attemptsJson,
            |"crawl_pages_per_sec_local32":$crawlRate,
            |"crawl_amortization":$crawlAmortJson,
+           |"seen_membership":$membershipJson,
            |"sched_rows":$schedN,"extract_rows":$extractN}""".stripMargin.replace("\n", "")
     }
 

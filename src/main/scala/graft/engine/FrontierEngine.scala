@@ -69,7 +69,18 @@ object FrontierEngine {
         * false negatives; every possibly-seen row is exactly confirmed) —
         * at 10^10 URLs the prefilter drops the bulk of duplicate
         * candidates before they reach the anti-join shuffle. */
-      bloomPrefilter: Boolean = false)
+      bloomPrefilter: Boolean = false,
+      /** keep the seen set RESIDENT in a bucket-co-partitioned exact index
+        * ([[SeenIndex]]): per round only the DELTA shuffles (new hashes
+        * merged as one sorted run per bucket) and membership is a
+        * co-partitioned zip probe — O(delta) per round instead of the
+        * anti-join's O(seen) full-table shuffle, the dominant recurring
+        * cost of a long crawl. Results are byte-identical (identity is the
+        * 64-bit hash either way; CrawlSpec pins order/seen-set/text
+        * equality vs the scalar oracle with the index on). Takes
+        * precedence over bloomPrefilter (the index IS exact — nothing to
+        * prefilter). */
+      exactSeenIndex: Boolean = false)
 
   final case class RoundResult(
       fetched: DataFrame, // FetchedRow sans links
@@ -89,10 +100,12 @@ object FrontierEngine {
   }
 
   /** One scheduling round. `seen` is (url_hash LONG, url STRING);
-    * `fetchedSoFar` drives the global maxPages cap. */
+    * `fetchedSoFar` drives the global maxPages cap. When
+    * `cfg.exactSeenIndex` is set, `seenIdx` supplies the resident index
+    * and `seen` is not read at all this round. */
   def round(spark: SparkSession, frontier: Dataset[FrontierRow],
       seen: DataFrame, roundNo: Int, fetchedSoFar: Long,
-      cfg: Config): RoundResult = {
+      cfg: Config, seenIdx: Option[SeenIndex] = None): RoundResult = {
     import spark.implicits._
 
     // 1. within-frontier dedupe: first discovery (min FIFO seq) wins.
@@ -119,14 +132,19 @@ object FrontierEngine {
     //    bloomPrefilter the bucket-co-partitioned Bloom drops definite-fresh
     //    rows first and only possibly-seen rows pay the anti-join shuffle
     //    (positives are always exactly confirmed — no false drops)
-    val fresh =
-      if (cfg.bloomPrefilter && fetchedSoFar > 0) {
-        val p = SeenFilter.Params.forCount(math.max(fetchedSoFar, 1L))
-        val filters = SeenFilter.build(spark, seen, p)
-        val (definiteFresh, maybeSeen) = SeenFilter.split(spark, deduped, filters, p)
-        definiteFresh.union(
-          maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
-      } else deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    val fresh = seenIdx match {
+      case Some(idx) if cfg.exactSeenIndex =>
+        // resident exact index: only the candidate side moves
+        SeenIndex.split(spark, deduped, idx)._1
+      case _ =>
+        if (cfg.bloomPrefilter && fetchedSoFar > 0) {
+          val p = SeenFilter.Params.forCount(math.max(fetchedSoFar, 1L))
+          val filters = SeenFilter.build(spark, seen, p)
+          val (definiteFresh, maybeSeen) = SeenFilter.split(spark, deduped, filters, p)
+          definiteFresh.union(
+            maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
+        } else deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    }
 
     // 3. per-host politeness budget: rank by (priority, next_fetch_time)
     //    with FIFO tiebreak, over the host key, PRE-salt (north rule). In
@@ -309,12 +327,21 @@ object FrontierEngine {
       case Some(s) => s
       case None => CrawlState(seedFrontier(spark, seeds).toDF(), emptySeen, emptyFetched(spark), 0, 0L)
     }
+    // resident exact seen index: built once from the committed seen table
+    // (one O(seen) pass at start/resume), then maintained with O(delta)
+    // merges per round — the seen DataFrame itself is only ever read again
+    // by the store/oracle, never by the scheduler
+    var seenIdx: Option[SeenIndex] =
+      if (cfg.exactSeenIndex)
+        Some(SeenIndex.fromSeen(spark, state.seen,
+          SeenIndex.bucketsFor(spark, math.max(state.fetchedCount, cfg.maxPages))))
+      else None
     var continue = state.fetchedCount < cfg.maxPages
     while (continue) {
       // no isEmpty pre-check: an empty frontier yields taken == 0 in the
       // round itself — the pre-check was one extra Spark job per round
       val fr = state.frontier.as[FrontierRow]
-      val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg)
+      val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg, seenIdx)
       if (r.taken == 0) continue = false
       else {
         // localCheckpoint truncates the iterative plan lineage — without
@@ -327,9 +354,10 @@ object FrontierEngine {
         // unioned in — at 10^10 URLs a per-round full rewrite/checkpoint of
         // the seen table would dominate every round's cost. `fetched`
         // deltas are already cached with flat lineage.
+        val seenDeltaCk = r.seenDelta.localCheckpoint(true)
         var newState = CrawlState(
           frontier = r.newFrontier.toDF().localCheckpoint(true),
-          seen = state.seen.union(r.seenDelta.localCheckpoint(true)),
+          seen = state.seen.union(seenDeltaCk),
           fetched = state.fetched.union(r.fetched),
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
@@ -337,6 +365,8 @@ object FrontierEngine {
         // frontier + seen delta are materialized (and committed) — release
         // the round's transient ranked-frontier cache
         r.cleanup()
+        // O(delta) index maintenance (invalidates the previous index)
+        seenIdx = seenIdx.map(idx => SeenIndex.add(idx, seenDeltaCk))
         // the per-round delta checkpoints keep LINEAGE flat, but the union
         // TREE itself still deepens one node per round — a 10^4-round crawl
         // would accrete a 10^4-way union plan on the driver. Collapse it

@@ -133,6 +133,75 @@ class CrawlSpec extends AnyFunSuite {
     assert(m.contains("\"status_counts\""))
   }
 
+  test("exact seen index: crawl is byte-identical to the anti-join path") {
+    // same seeds/config as the BFS + budget oracles, with the resident
+    // bucket-co-partitioned index replacing the O(seen)-shuffle anti-join
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(1), ecfg)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    assert(seen.count() == oracle.seen.size)
+
+    // the membership probe never shuffles the seen side: its lineage has
+    // exactly ONE ShuffledRDD (the candidate partitionBy) zipped against
+    // the resident checkpointed runs
+    val lin = SeenIndex.lastProbeLineage
+    assert(lin.nonEmpty)
+    assert("ShuffledRDD".r.findAllIn(lin).size == 1,
+      s"seen side shuffled in probe lineage:\n$lin")
+    assert(lin.contains("ZippedPartitionsRDD"), s"probe is not a zip:\n$lin")
+  }
+
+  test("exact seen index: resume from snapshot rebuilds the index (no loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-resume").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 2), Some(store))
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+  }
+
+  test("SeenIndex: add/probe/compaction keep exact membership") {
+    import spark.implicits._
+    val buckets = 4
+    var idx = SeenIndex.empty(spark, buckets)
+    val all = scala.collection.mutable.Set[Long]()
+    // 12 delta rounds > MaxRuns forces at least one compaction per bucket
+    (0 until 12).foreach { r =>
+      val delta = (0 until 50).map(i => r * 1000L + i * 7L)
+      all ++= delta
+      idx = SeenIndex.add(idx, delta.toDF("url_hash"))
+    }
+    assert(idx.count == all.size, s"count ${idx.count} != ${all.size}")
+    val (nRuns, nResident) = idx.runStats()
+    assert(nResident == all.size)
+    assert(nRuns <= buckets.toLong * SeenIndex.MaxRuns,
+      s"compaction never ran: $nRuns runs")
+    // probe: half present, half absent
+    val present = all.take(100).toSeq
+    val absent = (0 until 100).map(i => 999983L * (i + 1))
+      .filterNot(all.contains)
+    val cand = (present ++ absent).toDF("url_hash")
+    val (fresh, seenDf) = SeenIndex.split(spark, cand, idx)
+    assert(seenDf.collect().map(_.getLong(0)).toSet == present.toSet)
+    assert(fresh.collect().map(_.getLong(0)).toSet == absent.toSet)
+  }
+
+  test("SeenIndex mergeRuns/dedupSorted kernels") {
+    assert(SeenIndex.dedupSorted(Array(1L, 1L, 2L, 3L, 3L, 3L)).toSeq == Seq(1L, 2L, 3L))
+    assert(SeenIndex.dedupSorted(Array.empty[Long]).toSeq == Seq())
+    assert(SeenIndex.mergeRuns(Array(Array(1L, 3L, 5L), Array(2L, 3L, 6L),
+      Array.empty[Long])).toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(SeenIndex.containsHash(Array(Array(1L, 3L), Array(7L)), 7L))
+    assert(!SeenIndex.containsHash(Array(Array(1L, 3L), Array(7L)), 5L))
+  }
+
   test("optimistic concurrency: two writers race one parent, exactly one wins") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("crawl-occ").toString
