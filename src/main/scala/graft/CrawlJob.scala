@@ -48,7 +48,11 @@ object CrawlJob {
       sameHostOnly = a.getOrElse("same-host-only", "false").toBoolean,
       respectRobots = true,
       saltBuckets = a.getOrElse("salt-buckets", "8").toInt,
-      web = web)
+      web = web,
+      bloomPrefilter = a.getOrElse("bloom-prefilter", "false").toBoolean,
+      // the at-scale membership mode (resident O(delta) seen index);
+      // default off for small crawls — see BASELINE.md round-5 addendum
+      exactSeenIndex = a.getOrElse("exact-seen-index", "false").toBoolean)
     val seeds = a.get("seeds").map(_.split(",").toSeq)
       .getOrElse((0 until 8).map(h => SyntheticWeb.pageUrl(h, 0)))
     val store = a.get("store").map(new SnapshotStore(_))

@@ -387,6 +387,7 @@ object FrontierEngine {
         if (state.round >= cfg.maxRounds) continue = false
       }
     }
+    seenIdx.foreach(_.release())
     (state.fetched, state.seen)
   }
 

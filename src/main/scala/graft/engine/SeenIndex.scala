@@ -44,6 +44,10 @@ final class SeenIndex private (
     private[engine] val runs: RDD[(Int, Array[Array[Long]])],
     val count: Long) {
 
+  /** Release the resident blocks (call when the crawl is done with the
+    * index; the committed seen table remains the durable record). */
+  def release(): Unit = { runs.unpersist(false); () }
+
   /** (total runs across buckets, total resident hashes) — test/diagnostic. */
   def runStats(): (Long, Long) = {
     val (r, n) = runs
