@@ -91,7 +91,9 @@ object SeenIndex {
 
   /** Merge a round's delta (`url_hash` column) into the index: shuffles
     * ONLY the delta; every untouched run is shared by reference with the
-    * previous index. Returns the new immutable index. */
+    * previous index. Returns the new index and INVALIDATES the input one
+    * (its blocks are released; its lineage is truncated, so it cannot be
+    * recomputed) — callers must switch to the returned index. */
   def add(idx: SeenIndex, delta: DataFrame): SeenIndex = {
     val b = idx.buckets
     val part = new HashPartitioner(b)
@@ -109,10 +111,18 @@ object SeenIndex {
           if (fresh.isEmpty) Iterator.single((bucket, oldRuns))
           else {
             java.util.Arrays.sort(fresh)
-            val appended = oldRuns :+ dedupSorted(fresh)
-            val out = if (appended.length > MaxRuns) Array(mergeRuns(appended))
-              else appended
-            Iterator.single((bucket, out))
+            // idempotent add: drop values already resident (the crawl only
+            // ever feeds never-seen deltas, but the structure must not
+            // double-count if fed otherwise) — O(delta · runs · log)
+            val run = dedupSorted(fresh)
+              .filterNot(h => containsHash(oldRuns, h))
+            if (run.isEmpty) Iterator.single((bucket, oldRuns))
+            else {
+              val appended = oldRuns :+ run
+              val out = if (appended.length > MaxRuns) Array(mergeRuns(appended))
+                else appended
+              Iterator.single((bucket, out))
+            }
           }
         }
     }.persist(StorageLevel.MEMORY_AND_DISK)

@@ -193,6 +193,26 @@ class CrawlSpec extends AnyFunSuite {
     assert(fresh.collect().map(_.getLong(0)).toSet == absent.toSet)
   }
 
+  test("SeenIndex matches a Set model under randomized adds/probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    var idx = SeenIndex.empty(spark, 3)
+    val model = scala.collection.mutable.Set[Long]()
+    (0 until 6).foreach { _ =>
+      // deltas with internal duplicates and values colliding across rounds
+      val delta = Seq.fill(rnd.nextInt(80) + 1)(rnd.nextInt(500).toLong)
+      model ++= delta
+      idx = SeenIndex.add(idx, delta.toDF("url_hash"))
+      assert(idx.count == model.size, s"count ${idx.count} != ${model.size}")
+      val probes = Seq.fill(60)(rnd.nextInt(700).toLong).distinct
+      val (fresh, seenDf) = SeenIndex.split(spark, probes.toDF("url_hash"), idx)
+      assert(seenDf.collect().map(_.getLong(0)).toSet ==
+        probes.filter(model.contains).toSet)
+      assert(fresh.collect().map(_.getLong(0)).toSet ==
+        probes.filterNot(model.contains).toSet)
+    }
+  }
+
   test("SeenIndex mergeRuns/dedupSorted kernels") {
     assert(SeenIndex.dedupSorted(Array(1L, 1L, 2L, 3L, 3L, 3L)).toSeq == Seq(1L, 2L, 3L))
     assert(SeenIndex.dedupSorted(Array.empty[Long]).toSeq == Seq())
