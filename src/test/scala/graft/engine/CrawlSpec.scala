@@ -154,6 +154,16 @@ class CrawlSpec extends AnyFunSuite {
     assert(lin.contains("ZippedPartitionsRDD"), s"probe is not a zip:\n$lin")
   }
 
+  test("exact seen index: multi-seed unbounded-budget BFS (q30's config class)") {
+    val ocfg = CrawlOracle.Config(2, 300, Int.MaxValue, true, true, web)
+    val oracle = CrawlOracle.run(seeds(0, 1, 2, 3), ocfg)
+    val ecfg = FrontierEngine.Config(2, 300, Int.MaxValue, true, true, 4, web,
+      exactSeenIndex = true)
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(0, 1, 2, 3), ecfg)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    assert(seen.count() == oracle.seen.size)
+  }
+
   test("exact seen index: resume from snapshot rebuilds the index (no loss)") {
     val dir = java.nio.file.Files.createTempDirectory("crawl-idx-resume").toString
     val store = new SnapshotStore(dir)
