@@ -81,9 +81,13 @@ final class SnapshotStore(rootDir: String) {
     val d = dir(state.round)
     try Files.move(staging, d, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case e: java.nio.file.FileSystemException =>
+      case e: java.nio.file.FileSystemException if Files.exists(d) =>
+        // destination present ⇒ a concurrent writer won the round
         rmTree(staging)
         throw new SnapshotStore.CommitConflictException(state.round, e)
+      case e: Throwable =>
+        rmTree(staging) // unrelated IO failure: clean staging, surface as-is
+        throw e
     }
 
     // winner-only: write pointer to temp, then rename over _current
