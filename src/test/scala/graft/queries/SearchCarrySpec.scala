@@ -42,4 +42,11 @@ class SearchCarrySpec extends AnyFunSuite {
   test("no carry without a preceding match: every line scans from 0") {
     assert(scan("x", "y spark") == Seq((2, 2, "spark")))
   }
+
+  test("degenerate inputs: no lines / empty lines") {
+    assert(scan() == Seq())
+    assert(scan("", "", "spark") == Seq((3, 0, "spark")))
+    // empty line after a match: lastIndex (5) > length (0) -> null + reset
+    assert(scan("spark", "", "spark") == Seq((1, 0, "spark"), (3, 0, "spark")))
+  }
 }
