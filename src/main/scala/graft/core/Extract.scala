@@ -164,12 +164,15 @@ object Extract {
     * remove script/style/nav/header/footer/aside from the whole document,
     * then body text, optional whitespace collapse. The reference trims
     * ONLY inside the removeWhitespace branch (:3811-3813) — the raw form
-    * keeps its leading/trailing whitespace verbatim. */
+    * keeps its leading/trailing whitespace verbatim — and falls back
+    * `$('body').text() || $.text()` (:3810): a document whose body text is
+    * falsy-empty yields the WHOLE document's text (e.g. the title). */
   def extractTextOnly(html: String, collapseWs: Boolean): String = {
     val doc = Html.parse(html)
     Selector.select(doc.root, "script, style, nav, header, footer, aside")
       .foreach(_.remove())
-    val t = doc.body.text()
+    val bodyText = doc.body.text()
+    val t = if (bodyText.isEmpty) doc.root.text() else bodyText
     // JS /\s+/g is the Unicode class (JsWhitespace), not Java's ASCII \s;
     // after the collapse every run is a single ASCII space, so Java trim
     // ≡ JS trim on the result

@@ -337,12 +337,16 @@ object FrontierEngine {
           SeenIndex.bucketsFor(spark, math.max(state.fetchedCount, cfg.maxPages))))
       else None
     var continue = state.fetchedCount < cfg.maxPages
-    while (continue) {
+    // try/finally: a throw anywhere in the loop (e.g. CommitConflictException
+    // from a losing OCC writer) must still release the resident index blocks
+    // and the current round's transient caches — exception exits used to
+    // leak one persisted frontier + the index per failed crawl invocation
+    try while (continue) {
       // no isEmpty pre-check: an empty frontier yields taken == 0 in the
       // round itself — the pre-check was one extra Spark job per round
       val fr = state.frontier.as[FrontierRow]
       val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg, seenIdx)
-      if (r.taken == 0) continue = false
+      try if (r.taken == 0) continue = false
       else {
         // localCheckpoint truncates the iterative plan lineage — without
         // it each round's DAG embeds all previous rounds and the driver
@@ -362,9 +366,6 @@ object FrontierEngine {
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
         store.foreach(_.commit(spark, newState, r))
-        // frontier + seen delta are materialized (and committed) — release
-        // the round's transient ranked-frontier cache
-        r.cleanup()
         // O(delta) index maintenance (invalidates the previous index)
         seenIdx = seenIdx.map(idx => SeenIndex.add(idx, seenDeltaCk))
         // the per-round delta checkpoints keep LINEAGE flat, but the union
@@ -386,8 +387,12 @@ object FrontierEngine {
         if (state.fetchedCount >= cfg.maxPages) continue = false
         if (state.round >= cfg.maxRounds) continue = false
       }
+      // release the round's transient ranked-frontier cache on EVERY exit:
+      // taken==0 termination and exception paths included (the outputs are
+      // either materialized by now or abandoned — unpersist is safe both ways)
+      finally r.cleanup()
     }
-    seenIdx.foreach(_.release())
+    finally seenIdx.foreach(_.release())
     (state.fetched, state.seen)
   }
 

@@ -104,7 +104,12 @@ object SeenIndex {
       .partitionBy(part)
     val newRuns = idx.runs.zipPartitions(deltaKv, preservesPartitioning = true) {
       (rit, dit) =>
-        if (!rit.hasNext) Iterator.empty
+        // invariant: every runs partition holds exactly its one bucket entry.
+        // A structurally missing bucket must fail LOUDLY — silently dropping
+        // the zipped delta here would permanently lose seen-membership for
+        // those hashes and corrupt dedupe downstream.
+        if (!rit.hasNext) sys.error(
+          s"SeenIndex bucket entry missing in partition ${org.apache.spark.TaskContext.getPartitionId()}")
         else {
           val (bucket, oldRuns) = rit.next()
           val fresh = dit.map(_._2).toArray

@@ -3,88 +3,223 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing for a training-data pipeline: media as
-  * opaque `binary` columns with typed metadata, processed per-partition in
-  * batches (the Scala analogue of `mapInPandas`: one buffer of rows in,
-  * one buffer out, columnar-friendly batch shape).
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Multimodal-column handling for a training-data pipeline: media as
+  * opaque `binary` columns, decoded and featurized per-partition in
+  * batches (the Scala analogue of `mapInPandas`: one iterator of rows in,
+  * one out, no per-row UDF dispatch).
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
-  * blobs are synthesized with a deterministic 16-byte header
-  * (magic|format|width|height|channels) + xxh64-seeded payload, and
-  * "decode" parses that header — clearly marked fake. Everything around
-  * it (schema, partitioning, batch iteration, feature aggregation,
-  * frame sampling) is the real Spark plumbing a codec-backed UDF would
-  * drop into.
+  * The decode step is REAL: PNG/JPEG/BMP/GIF via the JDK's bundled
+  * `javax.imageio.ImageIO` and WAV (PCM) via `javax.sound.sampled` — both
+  * ship in `java.desktop`, zero extra dependencies. The generator likewise
+  * encodes real bytes with the same codecs, so the pipeline exercises a
+  * genuine encode → binary column → distributed decode round trip;
+  * q63's oracle independently re-aggregates the per-row decoded
+  * width/height/channels/pixel-hash rows.
+  *
+  * Scale notes (100 TB of media): blobs stay opaque binary until the
+  * mapPartitions decode — Parquet scans prune to (media_id, blob), no
+  * driver-side materialization, and per-task memory is one decoded item at
+  * a time (the iterator is consumed lazily). Formats the codec cannot
+  * parse yield None and are filtered, the usual corrupt-sample discipline
+  * of a crawl-derived media corpus.
   */
 object Multimodal {
 
-  val Magic: Int = 0x47524654 // "GRFT"
+  /** Decoded media: still images have nFrames=1; audio reports PCM frame
+    * count in nFrames and (0,0) spatial dims. `channels` is the color
+    * model's component count for images (gray 1, RGB 3, RGBA 4 — a
+    * palette GIF reports its expanded RGB components) and the channel
+    * count for audio. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      channels: Int, nFrames: Long)
 
-  final case class MediaMeta(format: String, width: Int, height: Int, channels: Int)
+  /** Decoded payload: exactly one of pixels (ARGB row-major) / samples
+    * (PCM 16-bit) is non-empty. */
+  final case class Decoded(meta: MediaMeta, pixels: Array[Int],
+      samples: Array[Short])
 
-  private val Formats = Seq("png", "jpeg", "webp", "wav")
+  // ---------------------------------------------------------------- sniff
 
-  /** Deterministic synthetic blob for id: header + pseudo-random payload. */
+  /** Container sniffing from magic bytes (the real-world step: a crawled
+    * blob's claimed content-type is untrusted). */
+  def sniffFormat(blob: Array[Byte]): Option[String] = {
+    if (blob == null || blob.length < 12) return None
+    def b(i: Int) = blob(i) & 0xFF
+    if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 0xFF && b(1) == 0xD8) Some("jpeg")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("wav")
+    else None
+  }
+
+  // --------------------------------------------------------------- decode
+
+  /** Real decode. Returns None for unrecognized/corrupt blobs (no throw —
+    * corrupt samples are data, not errors, in a crawled corpus). */
+  def decode(blob: Array[Byte]): Option[Decoded] = sniffFormat(blob).flatMap {
+    case "wav" => decodeWav(blob)
+    case fmt => decodeImage(blob, fmt)
+  }
+
+  private def decodeImage(blob: Array[Byte], fmt: String): Option[Decoded] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        Some(Decoded(
+          MediaMeta(fmt, w, h, img.getColorModel.getNumComponents, 1L),
+          px, Array.emptyShortArray))
+      }
+    } catch { case _: Exception => None }
+
+  private def decodeWav(blob: Array[Byte]): Option[Decoded] =
+    try {
+      val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+      val af = ain.getFormat
+      if (af.getSampleSizeInBits != 16) { ain.close(); None }
+      else {
+        val bytes = ain.readAllBytes()
+        ain.close()
+        val n = bytes.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          // PCM 16-bit little-endian (the generator's AudioFormat)
+          samples(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some(Decoded(
+          MediaMeta("wav", 0, 0, af.getChannels, ain.getFrameLength max n / af.getChannels),
+          Array.emptyIntArray, samples))
+      }
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------- features
+
+  /** Content fingerprint over the DECODED data (not the container bytes):
+    * two encodings of the same pixels (png vs bmp) hash identically. */
+  def pixelHash(d: Decoded): Long = {
+    val buf =
+      if (d.pixels.nonEmpty) {
+        val bb = java.nio.ByteBuffer.allocate(d.pixels.length * 4)
+        d.pixels.foreach(bb.putInt)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(d.samples.length * 2)
+        d.samples.foreach(bb.putShort)
+        bb.array()
+      }
+    graft.core.UrlNorm.xxh64(buf, 63L)
+  }
+
+  /** Per-channel means of the decoded data — the feature-extraction stand-in
+    * with the same batch shape as an embedding-model invocation. Images:
+    * mean R/G/B (0-255, and mean alpha first if the model has 4
+    * components); audio: mean absolute amplitude per channel. */
+  def channelMeans(d: Decoded): Array[Double] = {
+    if (d.pixels.nonEmpty) {
+      var r = 0L; var g = 0L; var b = 0L; var a = 0L
+      var i = 0
+      while (i < d.pixels.length) {
+        val p = d.pixels(i)
+        a += (p >>> 24) & 0xFF; r += (p >>> 16) & 0xFF
+        g += (p >>> 8) & 0xFF; b += p & 0xFF
+        i += 1
+      }
+      val n = d.pixels.length.toDouble
+      if (d.meta.channels == 4) Array(a / n, r / n, g / n, b / n)
+      else if (d.meta.channels == 1) Array((r + g + b) / (3.0 * n))
+      else Array(r / n, g / n, b / n)
+    } else {
+      val ch = math.max(1, d.meta.channels)
+      val sums = new Array[Long](ch)
+      val counts = new Array[Long](ch)
+      var i = 0
+      while (i < d.samples.length) {
+        val c = i % ch
+        sums(c) += math.abs(d.samples(i).toLong)
+        counts(c) += 1
+        i += 1
+      }
+      sums.zip(counts).map { case (s, n) => if (n == 0) 0.0 else s.toDouble / n }
+    }
+  }
+
+  /** "Frame sampling" (video/audio analogue): byte offsets of every k-th
+    * frame — rows for images, PCM frames for audio — capped at 8. */
+  def sampleFrameOffsets(d: Decoded, everyK: Int): Seq[Int] = {
+    val frameSize =
+      if (d.pixels.nonEmpty) d.meta.width * 4
+      else d.meta.channels * 2
+    val total = if (d.pixels.nonEmpty) d.pixels.length * 4 else d.samples.length * 2
+    if (frameSize <= 0) Seq.empty
+    else (0 until total by frameSize * everyK).take(8)
+  }
+
+  // ------------------------------------------------------------ generator
+
+  /** Deterministic synthetic media blob for `id`: REAL encoded bytes —
+    * png/jpeg/bmp/gif via ImageIO, wav via AudioSystem — with
+    * id-seeded content. */
   def synthesizeBlob(id: Long): Array[Byte] = {
     val h = graft.core.UrlNorm.xxh64(BigInt(id).toByteArray, 7L)
-    val fmt = (java.lang.Math.floorMod(h, 4L)).toInt
+    java.lang.Math.floorMod(h, 5L).toInt match {
+      case 4 => synthesizeWav(h)
+      case f => synthesizeImage(h, Seq("png", "jpeg", "bmp", "gif")(f))
+    }
+  }
+
+  private def synthesizeImage(h: Long, fmt: String): Array[Byte] = {
     val w = 16 + java.lang.Math.floorMod(h >> 8, 48L).toInt
     val ht = 16 + java.lang.Math.floorMod(h >> 16, 48L).toInt
-    val ch = if (fmt == 3) 1 else 3
-    val payload = new Array[Byte](w * ht * ch)
-    var i = 0
+    val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
     var x = h | 1L
-    while (i < payload.length) {
+    var yy = 0
+    while (yy < ht) {
+      var xx = 0
+      while (xx < w) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(xx, yy, ((x >>> 24) & 0xFFFFFF).toInt)
+        xx += 1
+      }
+      yy += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def synthesizeWav(h: Long): Array[Byte] = {
+    val n = 400 + java.lang.Math.floorMod(h >> 8, 1600L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var x = h | 1L
+    var i = 0
+    while (i < n) {
       x = x * 6364136223846793005L + 1442695040888963407L
-      payload(i) = (x >>> 56).toByte
+      val v = (x >>> 48).toShort
+      pcm(2 * i) = v.toByte
+      pcm(2 * i + 1) = (v >> 8).toByte
       i += 1
     }
-    val buf = java.nio.ByteBuffer.allocate(16 + payload.length)
-    buf.putInt(Magic).putInt(fmt).putShort(w.toShort).putShort(ht.toShort)
-      .putShort(ch.toShort).putShort(0)
-    buf.put(payload)
-    buf.array()
+    val af = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), af, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
-  /** STUB decode — parses the synthetic header. A real deployment replaces
-    * this body with an actual codec call; the signature and batch shape
-    * stay identical. */
-  def decodeStub(blob: Array[Byte]): Option[MediaMeta] = {
-    if (blob == null || blob.length < 16) return None
-    val buf = java.nio.ByteBuffer.wrap(blob)
-    if (buf.getInt() != Magic) return None
-    val fmt = buf.getInt()
-    val w = buf.getShort().toInt
-    val h = buf.getShort().toInt
-    val ch = buf.getShort().toInt
-    Some(MediaMeta(Formats(fmt % Formats.length), w, h, ch))
-  }
-
-  /** Per-channel mean of the payload — the "feature extraction" stand-in
-    * (same batch shape as an embedding model invocation). */
-  def channelMeans(blob: Array[Byte], meta: MediaMeta): Array[Double] = {
-    val sums = new Array[Long](meta.channels)
-    val counts = new Array[Long](meta.channels)
-    var i = 16
-    var c = 0
-    while (i < blob.length) {
-      sums(c) += (blob(i) & 0xFF)
-      counts(c) += 1
-      c = (c + 1) % meta.channels
-      i += 1
-    }
-    sums.zip(counts).map { case (s, n) => if (n == 0) 0.0 else s.toDouble / n }
-  }
-
-  /** "Frame sampling": every k-th row-stride of the payload (the video
-    * analogue — offsets are real, frames are the stub payload). */
-  def sampleFrames(blob: Array[Byte], meta: MediaMeta, everyK: Int): Seq[Int] = {
-    val frameSize = meta.width * meta.channels
-    if (frameSize == 0) Seq.empty
-    else (16 until blob.length by frameSize * everyK).map(identity).take(8)
-  }
-
-  /** The media table: (media_id, blob, lang) — binary column + metadata. */
+  /** The media table: (media_id, blob) — real encoded binary column. */
   def mediaTable(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(n).repartition(16).as[Long]
@@ -93,23 +228,24 @@ object Multimodal {
   }
 
   /** Batched decode + feature extraction via mapPartitions (mapInPandas
-    * shape: iterator of rows in, iterator of rows out, no per-row UDF
-    * dispatch overhead). */
+    * shape: iterator in, iterator out; decode cost amortizes over the
+    * batch, corrupt blobs drop out via flatMap). */
   def decodeAndFeaturize(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, blob) =>
-          decodeStub(blob).map { meta =>
-            val means = channelMeans(blob, meta)
-            val frames = sampleFrames(blob, meta, everyK = 4)
-            (id, meta.format, meta.width, meta.height, meta.channels,
-              blob.length, means, frames.length)
+          decode(blob).map { d =>
+            val means = channelMeans(d)
+            val frames = sampleFrameOffsets(d, everyK = 4)
+            (id, d.meta.format, d.meta.width, d.meta.height, d.meta.channels,
+              blob.length, d.meta.nFrames, pixelHash(d), means, frames.length)
           }
         }
       }
       .toDF("media_id", "format", "width", "height", "channels",
-        "size_bytes", "channel_means", "n_sampled_frames")
+        "size_bytes", "n_frames", "pixel_hash", "channel_means",
+        "n_sampled_frames")
   }
 }

@@ -40,7 +40,9 @@ object StreamQueries {
       val line = lines(li)
       val idx =
         if (lastIndex > line.length) -1
-        else line.toLowerCase.indexOf(termLower, lastIndex)
+        // Locale.ROOT: default-locale lowercasing is not the documented
+        // ASCII case fold (Turkish 'I' → dotless 'ı' would miss 'i' terms)
+        else line.toLowerCase(java.util.Locale.ROOT).indexOf(termLower, lastIndex)
       if (idx >= 0) {
         out += ((li + 1, idx, line.substring(idx, idx + L)))
         lastIndex = idx + L // successful exec advances; break skips reset
@@ -119,26 +121,33 @@ object StreamQueries {
     }, Some("""SELECT DISTINCT md5(text) AS content_hash
               |FROM documents ORDER BY content_hash""".stripMargin)),
 
-    // multimodal: binary media column → batched stub-decode + features;
-    // per-format rollup recomputed by the oracle from materialized rows
+    // multimodal: binary media column → batched REAL decode (JDK ImageIO
+    // for png/jpeg/bmp/gif, javax.sound for wav) + features; per-format
+    // rollup recomputed by the oracle from the materialized per-row decode
+    // output (incl. an xor fold of the decoded-content pixel hashes)
     QuerySpec("q63_multimodal", (s, _) => {
       val media = Multimodal.mediaTable(s, 2000)
       val kernel = Multimodal.decodeAndFeaturize(s, media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
-          col("channels"), col("size_bytes"), col("n_sampled_frames"),
+          col("channels"), col("size_bytes"), col("n_frames"),
+          col("pixel_hash"), col("n_sampled_frames"),
           round(element_at(col("channel_means"), 1) * 100).cast("long").as("mean_c0_x100"))
       OracleMat(s, "q63")(kernel)
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n"),
           sum(col("size_bytes")).cast("long").as("total_bytes"),
-          sum(col("n_sampled_frames")).cast("long").as("total_frames"),
+          sum(col("n_frames")).cast("long").as("total_frames"),
+          sum(col("n_sampled_frames")).cast("long").as("total_sampled"),
           sum(col("mean_c0_x100")).cast("long").as("sum_mean_c0_x100"),
+          expr("bit_xor(pixel_hash)").as("xor_pixel_hash"),
           max(col("width") * col("height")).as("max_pixels"))
         .orderBy(col("format"))
     }, Some(s"""SELECT format, count(*) AS n,
                |       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-               |       CAST(sum(n_sampled_frames) AS BIGINT) AS total_frames,
+               |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               |       CAST(sum(n_sampled_frames) AS BIGINT) AS total_sampled,
                |       CAST(sum(mean_c0_x100) AS BIGINT) AS sum_mean_c0_x100,
+               |       bit_xor(pixel_hash) AS xor_pixel_hash,
                |       max(width * height) AS max_pixels
                |FROM ${OracleMat.src("q63")}
                |GROUP BY format ORDER BY format""".stripMargin)),
@@ -209,7 +218,7 @@ object StreamQueries {
         .as[(Long, String)]
         .flatMap { case (id, wt) =>
           val ls = wt.split("\n", -1)
-          literalScanCarry(ls, term.toLowerCase).map { case (ln, p0, m) =>
+          literalScanCarry(ls, term.toLowerCase(java.util.Locale.ROOT)).map { case (ln, p0, m) =>
             (id, "literal", ln, p0, m, ls(ln - 1))
           }
         }

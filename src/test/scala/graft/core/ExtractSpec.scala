@@ -152,6 +152,21 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.extractTextOnly(nb, collapseWs = true) == "x y")
   }
 
+  test("extractTextOnly falls back to whole-document text when body text is empty (server.ts:3810)") {
+    // the reference reads `$('body').text() || $.text()` — a falsy-empty
+    // body yields the WHOLE document's text, which includes <title>
+    val html = "<html><head><title>Only Title</title></head><body></body></html>"
+    assert(Extract.extractTextOnly(html, collapseWs = true) == "Only Title")
+    // non-empty body never takes the fallback (title text stays excluded)
+    val withBody = "<html><head><title>T</title></head><body><p>b</p></body></html>"
+    assert(Extract.extractTextOnly(withBody, collapseWs = true) == "b")
+    // JS falsy is exactly '': a whitespace-only body is truthy, no fallback
+    // (cheerio-verified: collapsed form is "", not the title)
+    val wsBody = "<html><head><title>T2</title></head><body>   </body></html>"
+    assert(Extract.extractTextOnly(wsBody, collapseWs = false) == "   ")
+    assert(Extract.extractTextOnly(wsBody, collapseWs = true) == "")
+  }
+
   test("summarize: greedy top-scored sentences (extract.ts:294-340)") {
     val text = "This is the first long sentence of the content. " +
       "Second sentence is also fairly long indeed. Short one. " +
