@@ -50,9 +50,14 @@ object CrawlJob {
       saltBuckets = a.getOrElse("salt-buckets", "8").toInt,
       web = web,
       bloomPrefilter = a.getOrElse("bloom-prefilter", "false").toBoolean,
-      // the at-scale membership mode (resident O(delta) seen index);
-      // default off for small crawls — see BASELINE.md round-5 addendum
-      exactSeenIndex = a.getOrElse("exact-seen-index", "false").toBoolean)
+      // membership mode: --exact-seen-index forces the resident O(delta)
+      // index from round 0; otherwise the crawl AUTO-switches to it once
+      // the seen set crosses --auto-seen-index-at URLs (the measured
+      // anti-join/index crossover, BASELINE.md seen_membership; -1
+      // disables). With --store the index persists as a durable sidecar
+      // and resume reloads it with zero shuffle.
+      exactSeenIndex = a.getOrElse("exact-seen-index", "false").toBoolean,
+      autoSeenIndexAt = a.getOrElse("auto-seen-index-at", "16000000").toLong)
     val seeds = a.get("seeds").map(_.split(",").toSeq)
       .getOrElse((0 until 8).map(h => SyntheticWeb.pageUrl(h, 0)))
     val store = a.get("store").map(new SnapshotStore(_))

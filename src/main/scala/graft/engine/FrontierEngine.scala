@@ -80,7 +80,20 @@ object FrontierEngine {
         * equality vs the scalar oracle with the index on). Takes
         * precedence over bloomPrefilter (the index IS exact — nothing to
         * prefilter). */
-      exactSeenIndex: Boolean = false)
+      exactSeenIndex: Boolean = false,
+      /** AUTO mode selection for seen membership: when ≥ 0 and
+        * `exactSeenIndex` is off, the crawl starts on the plain anti-join
+        * and switches to the resident index once the seen set crosses
+        * this many URLs — the measured crossover where the per-round
+        * O(seen) anti-join shuffle overtakes the index's one-time build
+        * (BASELINE.md seen_membership: index probe wins decisively by
+        * 32M seen; the default sits a factor below that so the one-time
+        * build amortizes over the remaining rounds). Results are
+        * byte-identical across the switch (identity is the 64-bit hash
+        * in both modes; CrawlSpec pins it). -1 disables; ON by default —
+        * no sandbox-scale crawl reaches it, and a 10^10-URL crawl should
+        * not need a hand flag to stop re-shuffling its seen set. */
+      autoSeenIndexAt: Long = 16000000L)
 
   final case class RoundResult(
       fetched: DataFrame, // FetchedRow sans links
@@ -133,8 +146,10 @@ object FrontierEngine {
     //    rows first and only possibly-seen rows pay the anti-join shuffle
     //    (positives are always exactly confirmed — no false drops)
     val fresh = seenIdx match {
-      case Some(idx) if cfg.exactSeenIndex =>
-        // resident exact index: only the candidate side moves
+      case Some(idx) =>
+        // resident exact index: only the candidate side moves. Presence-
+        // driven: [[crawl]] decides the mode (config flag or auto-switch
+        // at the measured crossover) by passing the index or not.
         SeenIndex.split(spark, deduped, idx)._1
       case _ =>
         if (cfg.bloomPrefilter && fetchedSoFar > 0) {
@@ -254,6 +269,11 @@ object FrontierEngine {
   /** Union-plan collapse interval for iterative crawls (see [[crawl]]). */
   private val planCollapseEvery = 8
 
+  /** Per-round seen-membership mode decisions of the most recent [[crawl]]
+    * ((round, "anti"|"bloom"|"index"|"switch_to_index@N")) — diagnostic,
+    * CrawlSpec asserts the auto-switch fires at its threshold. */
+  @volatile var lastSeenModeLog: List[(Int, String)] = Nil
+
   private val frontierCols = Seq(
     col("url"), col("url_hash"), col("host"), col("depth"),
     col("parent_order"), col("link_pos"),
@@ -327,21 +347,62 @@ object FrontierEngine {
       case Some(s) => s
       case None => CrawlState(seedFrontier(spark, seeds).toDF(), emptySeen, emptyFetched(spark), 0, 0L)
     }
-    // resident exact seen index: built once from the committed seen table
-    // (one O(seen) pass at start/resume), then maintained with O(delta)
-    // merges per round — the seen DataFrame itself is only ever read again
-    // by the store/oracle, never by the scheduler
+    // resident exact seen index. With a store, the durable sidecar
+    // ([[SeenIndexStore]]) is preferred: load is a zero-shuffle per-bucket
+    // file read + an O(missed deltas) top-up, NOT the O(seen) shuffle+sort
+    // of fromSeen — which remains the storeless / no-sidecar fallback (and
+    // then seeds the sidecar so the NEXT resume loads).
+    def buildIndex(st8: CrawlState): SeenIndex = {
+      val bucketsIfNew =
+        SeenIndex.bucketsFor(spark, math.max(st8.fetchedCount, cfg.maxPages))
+      store match {
+        case Some(st) =>
+          SeenIndexStore.load(spark, st.indexDir, st8.round) match {
+            case Some((idx0, idxRound)) =>
+              var idx = idx0
+              ((idxRound + 1) to st8.round).foreach { k =>
+                st.seenDeltaPath(k).foreach { p =>
+                  // idempotent add: after snapshot expiry the compacted
+                  // keepRound delta holds the union of expired rounds —
+                  // already-resident hashes are dropped bucket-locally
+                  idx = SeenIndex.add(idx, spark.read.parquet(p),
+                    Some(SeenIndexStore.Sink(st.indexDir, k)))
+                }
+              }
+              if (st8.round > idxRound) {
+                SeenIndexStore.writeManifest(st.indexDir, idx.buckets, st8.round)
+                SeenIndexStore.gc(st.indexDir, st8.round)
+              }
+              idx
+            case None =>
+              val idx = SeenIndex.fromSeen(spark, st8.seen, bucketsIfNew,
+                Some(SeenIndexStore.Sink(st.indexDir, st8.round)))
+              SeenIndexStore.writeManifest(st.indexDir, idx.buckets, st8.round)
+              idx
+          }
+        case None => SeenIndex.fromSeen(spark, st8.seen, bucketsIfNew)
+      }
+    }
+    val modeLog = scala.collection.mutable.ArrayBuffer[(Int, String)]()
     var seenIdx: Option[SeenIndex] =
-      if (cfg.exactSeenIndex)
-        Some(SeenIndex.fromSeen(spark, state.seen,
-          SeenIndex.bucketsFor(spark, math.max(state.fetchedCount, cfg.maxPages))))
-      else None
+      if (cfg.exactSeenIndex) Some(buildIndex(state)) else None
     var continue = state.fetchedCount < cfg.maxPages
     // try/finally: a throw anywhere in the loop (e.g. CommitConflictException
     // from a losing OCC writer) must still release the resident index blocks
     // and the current round's transient caches — exception exits used to
     // leak one persisted frontier + the index per failed crawl invocation
     try while (continue) {
+      // auto mode selection: once the seen set crosses the configured
+      // crossover, stop paying the O(seen) anti-join shuffle per round
+      // and go resident (decision logged per crawl in lastSeenModeLog)
+      if (seenIdx.isEmpty && cfg.autoSeenIndexAt >= 0 &&
+          state.fetchedCount >= cfg.autoSeenIndexAt) {
+        seenIdx = Some(buildIndex(state))
+        modeLog += ((state.round, s"switch_to_index@${state.fetchedCount}"))
+      }
+      modeLog += ((state.round,
+        if (seenIdx.isDefined) "index"
+        else if (cfg.bloomPrefilter) "bloom" else "anti"))
       // no isEmpty pre-check: an empty frontier yields taken == 0 in the
       // round itself — the pre-check was one extra Spark job per round
       val fr = state.frontier.as[FrontierRow]
@@ -366,8 +427,20 @@ object FrontierEngine {
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
         store.foreach(_.commit(spark, newState, r))
-        // O(delta) index maintenance (invalidates the previous index)
-        seenIdx = seenIdx.map(idx => SeenIndex.add(idx, seenDeltaCk))
+        // O(delta) index maintenance (invalidates the previous index).
+        // With a store, the round's run events persist into the sidecar
+        // DURING the add's materialization, and the index manifest
+        // advances only after the snapshot commit above succeeded — so
+        // the sidecar can never claim rounds the table doesn't have.
+        seenIdx = seenIdx.map { idx =>
+          val sink = store.map(st => SeenIndexStore.Sink(st.indexDir, newState.round))
+          val next = SeenIndex.add(idx, seenDeltaCk, sink)
+          store.foreach { st =>
+            SeenIndexStore.writeManifest(st.indexDir, next.buckets, newState.round)
+            SeenIndexStore.gc(st.indexDir, newState.round)
+          }
+          next
+        }
         // the per-round delta checkpoints keep LINEAGE flat, but the union
         // TREE itself still deepens one node per round — a 10^4-round crawl
         // would accrete a 10^4-way union plan on the driver. Collapse it
@@ -392,7 +465,10 @@ object FrontierEngine {
       // either materialized by now or abandoned — unpersist is safe both ways)
       finally r.cleanup()
     }
-    finally seenIdx.foreach(_.release())
+    finally {
+      seenIdx.foreach(_.release())
+      lastSeenModeLog = modeLog.toList
+    }
     (state.fetched, state.seen)
   }
 

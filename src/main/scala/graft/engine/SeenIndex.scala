@@ -85,16 +85,36 @@ object SeenIndex {
     new SeenIndex(buckets, rdd, 0L)
   }
 
-  /** Rebuild from a committed seen table (resume path / first use). */
-  def fromSeen(spark: SparkSession, seen: DataFrame, buckets: Int): SeenIndex =
-    add(empty(spark, buckets), seen)
+  /** Rebuild from a committed seen table (resume path / first use). With
+    * `sink` set the rebuilt buckets are also persisted as durable base
+    * runs, so the NEXT resume is a [[SeenIndexStore.load]] instead. */
+  def fromSeen(spark: SparkSession, seen: DataFrame, buckets: Int,
+      sink: Option[SeenIndexStore.Sink] = None): SeenIndex =
+    add(empty(spark, buckets), seen, sink)
+
+  /** Adopt an already-bucket-partitioned runs RDD (the durable-load path:
+    * partition i must hold exactly bucket i's entry). */
+  private[engine] def fromLoadedRuns(spark: SparkSession, buckets: Int,
+      runs: RDD[(Int, Array[Array[Long]])]): SeenIndex = {
+    val persisted = runs.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.localCheckpoint()
+    val resident = persisted
+      .map { case (_, rs) => rs.map(_.length.toLong).sum }.fold(0L)(_ + _)
+    new SeenIndex(buckets, persisted, resident)
+  }
 
   /** Merge a round's delta (`url_hash` column) into the index: shuffles
     * ONLY the delta; every untouched run is shared by reference with the
     * previous index. Returns the new index and INVALIDATES the input one
     * (its blocks are released; its lineage is truncated, so it cannot be
-    * recomputed) — callers must switch to the returned index. */
-  def add(idx: SeenIndex, delta: DataFrame): SeenIndex = {
+    * recomputed) — callers must switch to the returned index.
+    *
+    * With `sink` set, each touched bucket's run EVENT is also written
+    * durably during materialization (task-side, idempotent): the appended
+    * delta run, or — when the bucket ends up with a single run (first
+    * fill, bulk build, or a compaction) — its full content as a base. */
+  def add(idx: SeenIndex, delta: DataFrame,
+      sink: Option[SeenIndexStore.Sink] = None): SeenIndex = {
     val b = idx.buckets
     val part = new HashPartitioner(b)
     val hashIdx = delta.schema.fieldIndex("url_hash")
@@ -126,6 +146,12 @@ object SeenIndex {
               val appended = oldRuns :+ run
               val out = if (appended.length > MaxRuns) Array(mergeRuns(appended))
                 else appended
+              sink.foreach { sk =>
+                if (out.length == 1) // full bucket content: durable base
+                  SeenIndexStore.writeRun(sk.dir, bucket, sk.round, base = true, out(0))
+                else
+                  SeenIndexStore.writeRun(sk.dir, bucket, sk.round, base = false, run)
+              }
               Iterator.single((bucket, out))
             }
           }

@@ -97,6 +97,16 @@ final class SnapshotStore(rootDir: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Directory of the durable [[SeenIndex]] sidecar ([[SeenIndexStore]]). */
+  def indexDir: String = root.resolve("seen_index").toString
+
+  /** The committed seen delta of one round, if present (absent after
+    * expiry compaction — the compacted keepRound dir then holds the union). */
+  def seenDeltaPath(round: Int): Option[String] = {
+    val p = dir(round).resolve("seen")
+    if (Files.exists(p)) Some(p.toString) else None
+  }
+
   def currentRound: Option[Int] = {
     val p = root.resolve("_current")
     if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("r").toInt)

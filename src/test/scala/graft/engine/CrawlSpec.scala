@@ -177,6 +177,102 @@ class CrawlSpec extends AnyFunSuite {
     assert(seenResumed.count() == oracle.seen.size)
   }
 
+  test("durable seen index: resume loads the sidecar with ZERO shuffle, crawl byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-durable").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 2), Some(store))
+    // phase 1 persisted run files + manifest for its committed rounds
+    val m1 = SeenIndexStore.readManifest(store.indexDir)
+    assert(m1.exists(_._2 == store.currentRound.get),
+      s"sidecar manifest $m1 != committed round ${store.currentRound}")
+
+    SeenIndexStore.lastLoadLineage = ""
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+
+    // the resume LOADED the sidecar (not fromSeen), and the load moved no
+    // hashes: its lineage contains no shuffle at all — only the bucket-ID
+    // parallelize feeding per-bucket file reads
+    val lin = SeenIndexStore.lastLoadLineage
+    assert(lin.nonEmpty, "durable load never ran on resume")
+    assert(!lin.contains("ShuffledRDD"), s"durable index load shuffled:\n$lin")
+  }
+
+  test("durable seen index: sidecar survives a missed round (manifest behind commit)") {
+    // simulate a crash between snapshot commit and index persist by
+    // rolling the manifest back one round, then resume: the loader must
+    // top up the missed round from its committed seen/ parquet delta
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-topup").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 3), Some(store))
+    val (buckets, r) = SeenIndexStore.readManifest(store.indexDir).get
+    assert(r >= 2)
+    SeenIndexStore.writeManifest(store.indexDir, buckets, r - 1)
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+  }
+
+  test("auto mode selection: switches anti-join -> index at the seen threshold, byte-identical") {
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      autoSeenIndexAt = 10L) // tiny crossover so the switch fires mid-crawl
+    val (fetched, seen) = FrontierEngine.crawl(spark, seeds(1), ecfg)
+    assert(engineRows(fetched).toSeq == oracleRows(oracle))
+    assert(seen.count() == oracle.seen.size)
+    val log = FrontierEngine.lastSeenModeLog
+    assert(log.exists(_._2 == "anti"), s"never ran anti-join: $log")
+    assert(log.exists(_._2.startsWith("switch_to_index@")), s"switch never fired: $log")
+    assert(log.exists(_._2 == "index"), s"never ran on the index: $log")
+    // the switch is one-way and fires at the first round with seen >= 10
+    val switchRound = log.find(_._2.startsWith("switch_to_index@")).get._1
+    assert(log.filter(_._1 > switchRound).forall(_._2 == "index"))
+  }
+
+  test("SeenIndexStore: run files round-trip; load plans newest base + later deltas; gc prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("seen-idx-store").toString
+    // bucket layout invariant: bucket b holds hashes with floorMod(h, 2) == b
+    // bucket 0 history: delta r1, delta r2, base r3 (compaction), delta r4
+    SeenIndexStore.writeRun(dir, 0, 1, base = false, Array(2L, 6L))
+    SeenIndexStore.writeRun(dir, 0, 2, base = false, Array(10L))
+    SeenIndexStore.writeRun(dir, 0, 3, base = true, Array(2L, 6L, 10L, 12L))
+    SeenIndexStore.writeRun(dir, 0, 4, base = false, Array(20L))
+    // bucket 1: single base
+    SeenIndexStore.writeRun(dir, 1, 2, base = true, Array(7L))
+    assert(SeenIndexStore.readRun(dir, "b0_r3_base.run").toSeq == Seq(2L, 6L, 10L, 12L))
+    SeenIndexStore.writeManifest(dir, 2, 4)
+
+    val (idx, round) = SeenIndexStore.load(spark, dir, storeRound = 4).get
+    assert(round == 4)
+    assert(idx.count == 6) // {2,6,10,12,20} + {7}: superseded deltas not double-counted
+    val (nRuns, _) = idx.runStats()
+    assert(nRuns == 3, s"expected base+delta for b0 and base for b1, got $nRuns runs")
+    import spark.implicits._
+    val (fresh, seenDf) = SeenIndex.split(spark,
+      Seq(2L, 10L, 20L, 7L, 999L).toDF("url_hash"), idx)
+    assert(seenDf.collect().map(_.getLong(0)).toSet == Set(2L, 10L, 20L, 7L))
+    assert(fresh.collect().map(_.getLong(0)).toSet == Set(999L))
+    idx.release()
+
+    // gc removes files superseded by b0's base at r3; keeps r3 base + r4 delta
+    SeenIndexStore.gc(dir, 4)
+    val left = new java.io.File(dir).list().filter(_.endsWith(".run")).toSet
+    assert(left == Set("b0_r3_base.run", "b0_r4_delta.run", "b1_r2_base.run"), left)
+
+    // a manifest ahead of the store's committed round is rejected (foreign sidecar)
+    assert(SeenIndexStore.load(spark, dir, storeRound = 3).isEmpty)
+  }
+
   test("SeenIndex: add/probe/compaction keep exact membership") {
     import spark.implicits._
     val buckets = 4
