@@ -171,7 +171,13 @@ object SimilarityQueries {
         val dims = 64
         // centroid training: hash-seeded init + 2 Lloyd iterations over a
         // deterministic sample (standard IVF training; sample is bounded so
-        // the driver-side step stays O(sample), not O(table))
+        // the driver-side step stays O(sample), not O(table)). The 1000-row
+        // collect is BOUNDED BY CONSTRUCTION (limit precedes it) and is how
+        // production IVF trains too — on a sample, not the corpus; at 100 TB
+        // you'd raise the sample and swap this loop for distributed
+        // k-means|| init, behind the same AnnRecallSpec recall gates. Only
+        // the assignment + rerank below are O(table), and they stay
+        // distributed.
         val init: Array[Array[Double]] = Array.tabulate(nCells, dims) { (c, i) =>
           val h = graft.core.UrlNorm.xxh64(
             java.nio.ByteBuffer.allocate(8).putInt(c).putInt(i).array(), 11L)

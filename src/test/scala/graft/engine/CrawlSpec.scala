@@ -239,6 +239,55 @@ class CrawlSpec extends AnyFunSuite {
     assert(log.filter(_._1 > switchRound).forall(_._2 == "index"))
   }
 
+  test("durable seen index: many-round crawl compacts buckets in-crawl; resume stays exact") {
+    // cross-host + tiny per-host budget: every bucket receives a delta
+    // every round, so buckets exceed MaxRuns runs and the sidecar takes
+    // the compaction path (base rewrite + gc) during a REAL crawl, not
+    // just in the unit test above
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-compact").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(3, 200, 2, false, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(3, 200, 2, false, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 12), Some(store))
+    assert(store.currentRound.get >= 10, "crawl too short to force compaction")
+    val files = new java.io.File(store.indexDir).list().filter(_.endsWith(".run"))
+    // first-fill bases land at r1 (empty bucket + first delta = single
+    // run); any base at a later round can only come from a compaction
+    assert(files.exists(f => f.contains("_base") && !f.contains("_r1_")),
+      s"no compaction base ever written: ${files.sorted.toSeq}")
+    // gc keeps per bucket at most: one base + deltas after it (across all
+    // rounds so far) — never the full uncompacted history
+    val maxPerBucket = files.groupBy(_.split("_")(0)).values.map(_.length).max
+    assert(maxPerBucket <= SeenIndex.MaxRuns + 1,
+      s"gc left $maxPerBucket files in one bucket: ${files.sorted.toSeq}")
+
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+  }
+
+  test("durable seen index: survives snapshot expiry (top-up from the compacted delta is idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-expiry").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 3), Some(store))
+    // expire everything into the latest round, AND roll the index manifest
+    // back: the top-up then reads the compacted seen delta, which holds
+    // the UNION of expired rounds — already-resident hashes must drop out
+    val keep = store.currentRound.get
+    store.expireSnapshotsBefore(spark, keep)
+    val (buckets, r) = SeenIndexStore.readManifest(store.indexDir).get
+    SeenIndexStore.writeManifest(store.indexDir, buckets, r - 2)
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+  }
+
   test("SeenIndexStore: run files round-trip; load plans newest base + later deltas; gc prunes") {
     val dir = java.nio.file.Files.createTempDirectory("seen-idx-store").toString
     // bucket layout invariant: bucket b holds hashes with floorMod(h, 2) == b
