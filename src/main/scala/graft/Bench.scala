@@ -410,6 +410,15 @@ object Bench {
         // extract leg AND the kernel thread-scaling control
         done = attempts.last.passes
         i += 1
+        // a failed attempt means the credit budget, not the spin probe, is
+        // the limiter (the probe can read >20 Gops while sustained load
+        // still throttles) — only IDLE restores credits, so back off a
+        // real interval before re-probing instead of retrying immediately
+        if (!done && i < maxAttempts && waitBudget > 0) {
+          val backoff = math.min(150L, waitBudget)
+          Thread.sleep(backoff * 1000)
+          waitBudget -= backoff
+        }
       }
       // headline block = best-scheduling attempt AMONG those passing all
       // three gates (if any did) — when attempts exhaust, an attempt with
