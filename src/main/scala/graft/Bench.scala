@@ -154,6 +154,56 @@ object Bench {
     tot / secs / 1e9
   }
 
+  /** Shared scan buffer for [[memBandwidthProbe]] (allocated once). */
+  private lazy val membwBuf: Array[Long] = {
+    val a = new Array[Long](1 << 25) // 256 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  /** Memory-bandwidth control (GB/s at `threads` threads): each thread
+    * sequentially sums a disjoint chunk of a shared 256 MiB buffer. The
+    * frontier-scheduling pipeline (hash + groupBy + join + window over
+    * 64M rows) is DRAM-bandwidth-bound on a single box — this probe
+    * measures how much MORE bandwidth 32 threads get than 8 on THIS
+    * host, which bounds the sched efficiency any shared-DRAM run can
+    * show. Real N→4N executor scaling adds a memory bus with every
+    * executor; local[N] structurally cannot (BASELINE.md round-2
+    * reading, now instrumented per attempt). */
+  private def memBandwidthProbe(threads: Int, ms: Long = 700): Double = {
+    val buf = membwBuf
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bytes = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        // every thread streams the WHOLE buffer (staggered start): the
+        // per-thread working set must exceed cache at every thread count,
+        // or high counts rescan cache-resident chunks and the ratio lies
+        val start = (t.toLong * buf.length / threads).toInt
+        var acc = 0L
+        var n = 0L
+        while (!stop.get()) {
+          var i = start
+          while (i < buf.length) { acc += buf(i); i += 1 }
+          i = 0
+          while (i < start) { acc += buf(i); i += 1 }
+          n += buf.length.toLong * 8
+        }
+        bytes.set(t, n + (acc & 1)) // fold acc in so the scan can't be elided
+      })
+      th.start(); th
+    }
+    val t0 = System.nanoTime()
+    Thread.sleep(ms)
+    stop.set(true)
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    var tot = 0L
+    (0 until threads).foreach(t => tot += bytes.get(t))
+    tot / secs / 1e9
+  }
+
   /** Throttle-independent control: the extraction kernel on plain JVM
     * threads (no Spark), short windows, best-of-3 per level. Separates
     * "does the kernel scale" from "is the sandbox host throttling
@@ -342,10 +392,12 @@ object Bench {
       val pollSecs = 45L
 
       final case class Attempt(order: String, spin32: Double, spin8: Double,
+          membw8: Double, membw32: Double,
           waitedSecs: Long, aborted: Boolean,
           sched8: Vector[Double], sched32: Vector[Double],
           extr8: Vector[Double], extr32: Vector[Double],
           k8: Double, k32: Double) {
+        def membwEff: Double = (membw32 / membw8) / 4.0
         def schedEffBest: Double =
           if (sched8.isEmpty || sched32.isEmpty) 0.0
           else (sched32.max / sched8.max) / 4.0
@@ -375,11 +427,16 @@ object Bench {
       def runAttempt(gateOnKernel: Boolean): Attempt = {
         val (spin32, waited) = spinWait()
         val spin8 = spinProbe(8)
+        // memory-bandwidth control: bounds the sched efficiency any
+        // shared-DRAM local[N] comparison can physically show
+        val membw32 = memBandwidthProbe(32)
+        val membw8 = memBandwidthProbe(8)
         // kernel thread control FIRST: freshest credits, and a cheap
         // (~5 s) early gate for the whole attempt
         val (k8, k32) = kernelThreadBench()
         if (gateOnKernel && (k32 / k8) / 4.0 < 0.7)
-          return Attempt("kernel-abort", spin32, spin8, waited, aborted = true,
+          return Attempt("kernel-abort", spin32, spin8, membw8, membw32,
+            waited, aborted = true,
             Vector(), Vector(), Vector(), Vector(), k8, k32)
         val sched = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
         val extr = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
@@ -395,7 +452,7 @@ object Bench {
           s.stop()
           SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         }
-        Attempt("32-8", spin32, spin8, waited, aborted = false,
+        Attempt("32-8", spin32, spin8, membw8, membw32, waited, aborted = false,
           sched(8), sched(32), extr(8), extr(32), k8, k32)
       }
 
@@ -448,6 +505,8 @@ object Bench {
       val attemptsJson = attempts.map(a =>
         s"""{"order":"${a.order}","spin_gops32":${f"${a.spin32}%.1f"},
            |"spin_gops8":${f"${a.spin8}%.1f"},
+           |"membw_gbps8":${f"${a.membw8}%.1f"},"membw_gbps32":${f"${a.membw32}%.1f"},
+           |"membw_eff":${f"${a.membwEff}%.3f"},
            |"waited_secs":${a.waitedSecs},"aborted":${a.aborted},
            |"sched_eff_best":${f"${a.schedEffBest}%.3f"},
            |"extract_eff_best":${f"${a.extractEffBest}%.3f"},
@@ -461,6 +520,9 @@ object Bench {
            |"kernel_efficiency":${f"${best.kernelEff}%.3f"},
            |"spin_gops32":${f"${best.spin32}%.1f"},
            |"spin_gops8":${f"${best.spin8}%.1f"},
+           |"membw_gbps8":${f"${best.membw8}%.1f"},
+           |"membw_gbps32":${f"${best.membw32}%.1f"},
+           |"membw_eff":${f"${best.membwEff}%.3f"},
            |"attempts":$attemptsJson,
            |"crawl_pages_per_sec_local32":$crawlRate,
            |"crawl_amortization":$crawlAmortJson,
