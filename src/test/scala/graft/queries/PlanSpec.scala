@@ -166,6 +166,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 multimodal rollup: partial agg over the materialized decode, no blob past the kernel") {
+    // decode runs in the typed mapPartitions kernel and materializes
+    // narrow per-row features; the per-format rollup must be a two-phase
+    // hash aggregate (partial before the exchange) and no Exchange may
+    // ever carry the binary blob column
+    val p = plan("q63_multimodal")
+    assert(p.contains("HashAggregate"), s"rollup not hash-aggregated:\n${p.take(1200)}")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial (map-side) aggregate before the shuffle:\n${p.take(2000)}")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchangeLines.exists(_.contains("blob")),
+      s"an exchange carries the raw media blob:\n${exchangeLines.mkString("\n")}")
+  }
+
   test("q20 minhash candidate join carries no token arrays through any exchange") {
     val p = plan("q20_minhash_lsh")
     // at small scale AQE may broadcast the band side instead of shuffling;
