@@ -37,9 +37,15 @@ import org.apache.spark.sql.SparkSession
   * `seen/` parquet deltas (O(missed deltas)).
   *
   * Writes use the Hadoop FileSystem API (local fs here, HDFS/S3A on a
-  * cluster). Write amplification is the in-memory structure's: one level,
-  * a bucket's base rewritten every MaxRuns deltas — leveled compaction
-  * would cap this further at very long crawls.
+  * cluster). Write amplification is the in-memory structure's: one
+  * level, a bucket's base rewritten every MaxRuns deltas. Quantified at
+  * the 10^10-URL target (4M-hash buckets, ~4k new hashes/bucket/round):
+  * amortized base-rewrite I/O is bucketSize/MaxRuns ≈ 4 MB/bucket/round
+  * → ~10 GB/round across 2500 buckets — noise against the same round's
+  * ~TB of fetched-page writes, which is why single-level stays (a
+  * leveled/tiered scheme would cut the 128× RELATIVE amplification to
+  * ~log, but the ABSOLUTE cost it saves is already immaterial and it
+  * would complicate the base+deltas recovery contract).
   */
 object SeenIndexStore {
 
