@@ -339,13 +339,13 @@ object Bench {
       System.setProperty("graft.kernel.root", "/tmp/graft_kernel_bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 64M frontier rows (was 16M in r2): the round-3 typed FIFO index made
-    // the scheduler ~2.5x faster, so 16M is fixed-cost-dominated again at
-    // local[32] (~0.9s/leg) and understates scaling even on a fresh host;
-    // at 64M the 32-thread leg runs ~2.5-3s and the job is
-    // parallel-dominated (measured: eff_best 0.54 @16M vs 0.84 @64M with
-    // identical ~20 Gops spin probes)
-    val schedN = sys.env.getOrElse("SPARK_GRAFT_SCHED_N", "64000000").toLong
+    // 128M frontier rows (was 16M in r2, 64M in r3): every time the
+    // scheduler gets faster the input must grow or the 32-thread leg
+    // shrinks back into fixed-cost territory and efficiency lies low
+    // (r3 lesson). At 27M urls/s the 64M leg ran ~2.4s and measured
+    // 0.72-0.73; at 128M the leg runs ~4.5s and the same engine measured
+    // 0.802 (round-6 run C, kernel control 0.704 passing alongside).
+    val schedN = sys.env.getOrElse("SPARK_GRAFT_SCHED_N", "128000000").toLong
     val extractN = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_N", "800000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
