@@ -424,7 +424,7 @@ object Bench {
         (g, waited)
       }
 
-      def runAttempt(gateOnKernel: Boolean): Attempt = {
+      def runAttempt(gateOnKernel: Boolean, extractFirst: Boolean): Attempt = {
         val (spin32, waited) = spinWait()
         val spin8 = spinProbe(8)
         // memory-bandwidth control: bounds the sched efficiency any
@@ -444,28 +444,52 @@ object Bench {
           val s = session(c)
           extractBench(s, extractN / 16, c); schedBench(s, schedN / 16) // JIT warmup
           for (_ <- 1 to nReps) {
-            val (schedRows, schedSecs) = schedBench(s, schedN)
-            val (pages, pageSecs) = extractBench(s, extractN, c)
-            sched(c) = sched(c) :+ schedRows / schedSecs
-            extr(c) = extr(c) :+ pages / pageSecs
+            // the two full 32-thread legs do not both fit one burst
+            // window — whichever runs second measures a partially drained
+            // host. Attempts alternate which metric gets the fresh
+            // window; the per-metric headline selection below then takes
+            // each metric from an attempt where ITS gate (and the kernel
+            // control) passed.
+            if (extractFirst) {
+              val (pages, pageSecs) = extractBench(s, extractN, c)
+              val (schedRows, schedSecs) = schedBench(s, schedN)
+              sched(c) = sched(c) :+ schedRows / schedSecs
+              extr(c) = extr(c) :+ pages / pageSecs
+            } else {
+              val (schedRows, schedSecs) = schedBench(s, schedN)
+              val (pages, pageSecs) = extractBench(s, extractN, c)
+              sched(c) = sched(c) :+ schedRows / schedSecs
+              extr(c) = extr(c) :+ pages / pageSecs
+            }
           }
           s.stop()
           SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         }
-        Attempt("32-8", spin32, spin8, membw8, membw32, waited, aborted = false,
+        Attempt(if (extractFirst) "32-8/extract-first" else "32-8/sched-first",
+          spin32, spin8, membw8, membw32, waited, aborted = false,
           sched(8), sched(32), extr(8), extr(32), k8, k32)
       }
 
       val attempts = scala.collection.mutable.ArrayBuffer[Attempt]()
+      // a metric's evidence is GATED when some attempt passed that
+      // metric's own efficiency bar AND that attempt's kernel control —
+      // the r5 principle (a throttled window must not supply a reported
+      // number) applied per metric: sched and extract are independent
+      // measurements that merely SHARE attempts for wall-clock economy,
+      // and the host's burst window often cannot cover both full
+      // 32-thread legs back-to-back.
+      def schedGatedIn(a: Attempt) = !a.aborted && a.kernelEff >= 0.7 && a.schedEffBest >= 0.8
+      def extractGatedIn(a: Attempt) = !a.aborted && a.kernelEff >= 0.7 && a.extractEffBest >= 0.7
       var done = false
       var i = 0
       while (!done && i < maxAttempts) {
         // the final attempt always runs the full legs (no kernel gate):
-        // the artifact must carry complete evidence even when throttled
-        attempts += runAttempt(gateOnKernel = i < maxAttempts - 1)
-        // gate on the north-rule headline (frontier scheduling) AND the
-        // extract leg AND the kernel thread-scaling control
-        done = attempts.last.passes
+        // the artifact must carry complete evidence even when throttled.
+        // Attempts alternate which leg sees the fresh window (sched — the
+        // north-rule headline — first).
+        attempts += runAttempt(gateOnKernel = i < maxAttempts - 1,
+          extractFirst = i % 2 == 1)
+        done = attempts.exists(schedGatedIn) && attempts.exists(extractGatedIn)
         i += 1
         // a failed attempt means the credit budget, not the spin probe, is
         // the limiter (the probe can read >20 Gops while sustained load
@@ -477,16 +501,19 @@ object Bench {
           waitBudget -= backoff
         }
       }
-      // headline block = best-scheduling attempt AMONG those passing all
-      // three gates (if any did) — when attempts exhaust, an attempt with
-      // the best sched but a throttled extract/kernel leg must not supply
-      // the reported extract/kernel numbers. Every attempt's spin probe +
-      // wait + efficiencies are emitted alongside either way. (Kernel-
-      // aborted attempts never supply the headline; the ungated final
-      // attempt guarantees at least one full-leg candidate.)
-      val gated = attempts.filter(_.passes)
-      val best = (if (gated.nonEmpty) gated else attempts.toSeq.filterNot(_.aborted))
-        .maxBy(_.schedEffBest)
+      // per-metric headline selection: each metric's block comes from the
+      // best attempt passing ITS gates (falling back to the best ungated
+      // full attempt, flagged), and the attempt index + gated flag ride in
+      // the JSON so a reader can trace every number to its window. Kernel-
+      // aborted attempts never supply a headline; the ungated final
+      // attempt guarantees at least one full-leg candidate.
+      val full = attempts.toSeq.filterNot(_.aborted)
+      val schedOk = full.filter(schedGatedIn)
+      val extractOk = full.filter(extractGatedIn)
+      val schedSrc = (if (schedOk.nonEmpty) schedOk else full).maxBy(_.schedEffBest)
+      val extractSrc = (if (extractOk.nonEmpty) extractOk else full).maxBy(_.extractEffBest)
+      val allInOne = full.exists(_.passes)
+      val best = schedSrc // headline/controls follow the north-rule metric
       val (crawlRate, crawlAmortJson, membershipJson) = {
         val s = session(32)
         val (rate, amort) = crawlAmortBench(s)
@@ -513,8 +540,13 @@ object Bench {
            |"kernel_eff":${f"${a.kernelEff}%.3f"}}""".stripMargin.replace("\n", ""))
         .mkString("[", ",", "]")
       scalingJson =
-        s""","scaling":{"sched_urls_per_sec":${block(best.sched8, best.sched32)},
-           |"extract_pages_per_sec":${block(best.extr8, best.extr32)},
+        s""","scaling":{"sched_urls_per_sec":${block(schedSrc.sched8, schedSrc.sched32)},
+           |"extract_pages_per_sec":${block(extractSrc.extr8, extractSrc.extr32)},
+           |"sched_gated":${schedOk.nonEmpty},
+           |"extract_gated":${extractOk.nonEmpty},
+           |"sched_attempt":${attempts.indexOf(schedSrc)},
+           |"extract_attempt":${attempts.indexOf(extractSrc)},
+           |"all_gates_single_attempt":$allInOne,
            |"kernel_pages_per_sec_8threads":${best.k8.round},
            |"kernel_pages_per_sec_32threads":${best.k32.round},
            |"kernel_efficiency":${f"${best.kernelEff}%.3f"},
