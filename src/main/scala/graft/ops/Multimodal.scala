@@ -68,18 +68,31 @@ object Multimodal {
     case fmt => decodeImage(blob, fmt)
   }
 
+  /** Decompression-bomb guard: a few-KB container can declare gigapixel
+    * dimensions and OOM the task on pixel allocation. Read the header's
+    * dimensions FIRST (no pixel decode) and reject oversized images —
+    * at corpus scale a malicious sample must cost O(header), not a task. */
+  val MaxPixels: Long = 64L * 1024 * 1024 // 256 MB of ARGB
+
   private def decodeImage(blob: Array[Byte], fmt: String): Option[Decoded] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(blob))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        Some(Decoded(
-          MediaMeta(fmt, w, h, img.getColorModel.getNumComponents, 1L),
-          px, Array.emptyShortArray))
-      }
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w.toLong * h > MaxPixels) return None
+          val img = reader.read(0)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          Some(Decoded(
+            MediaMeta(fmt, w, h, img.getColorModel.getNumComponents, 1L),
+            px, Array.emptyShortArray))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
 
   private def decodeWav(blob: Array[Byte]): Option[Decoded] =

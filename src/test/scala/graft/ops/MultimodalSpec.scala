@@ -81,6 +81,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.pixels.isEmpty)
   }
 
+  test("decompression-bomb guard: declared gigapixel dimensions rejected at header cost") {
+    // hand-build a PNG whose IHDR declares 60000x60000 (3.6 Gpx) with no
+    // real pixel data: the guard must reject from the header without
+    // attempting the multi-GB pixel allocation
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10))
+    val ihdr = new ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(ihdr)
+    d.writeBytes("IHDR"); d.writeInt(60000); d.writeInt(60000)
+    d.writeByte(8); d.writeByte(2); d.writeByte(0); d.writeByte(0); d.writeByte(0)
+    val body = ihdr.toByteArray
+    out.writeInt(body.length - 4)
+    out.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.writeInt(crc.getValue.toInt)
+    val bomb = bos.toByteArray
+    assert(Multimodal.sniffFormat(bomb).contains("png"))
+    assert(Multimodal.decode(bomb).isEmpty)
+    // sanity: the guard threshold still admits every generator size
+    assert(64L * 64L <= Multimodal.MaxPixels)
+  }
+
   test("corrupt and unknown blobs decode to None, not an exception") {
     assert(Multimodal.decode(null).isEmpty)
     assert(Multimodal.decode(Array.emptyByteArray).isEmpty)
