@@ -355,10 +355,27 @@ object FrontierEngine {
     def buildIndex(st8: CrawlState): SeenIndex = {
       val bucketsIfNew =
         SeenIndex.bucketsFor(spark, math.max(st8.fetchedCount, cfg.maxPages))
+      // full rebuild from the committed seen table, wiping the sidecar
+      // first: once we're here the dir's files are either absent or
+      // untrustworthy (foreign/rolled-back timeline), and writeRun's
+      // exists-skip must not keep any of them over the rebuild's writes
+      def rebuild(st: SnapshotStore): SeenIndex = {
+        SeenIndexStore.wipe(st.indexDir)
+        val idx = SeenIndex.fromSeen(spark, st8.seen, bucketsIfNew,
+          Some(SeenIndexStore.Sink(st.indexDir, st8.round)))
+        SeenIndexStore.writeManifest(st.indexDir, idx.buckets, st8.round)
+        idx
+      }
       store match {
         case Some(st) =>
           SeenIndexStore.load(spark, st.indexDir, st8.round) match {
             case Some((idx0, idxRound)) =>
+              // run files AHEAD of the committed store round belong to an
+              // abandoned timeline: delete them now, or the exists-skip
+              // would keep their stale content when this crawl re-reaches
+              // those rounds (files in (idxRound, round] are same-timeline
+              // derivations of committed deltas and stay)
+              SeenIndexStore.invalidateAhead(st.indexDir, st8.round)
               var idx = idx0
               ((idxRound + 1) to st8.round).foreach { k =>
                 st.seenDeltaPath(k).foreach { p =>
@@ -373,12 +390,23 @@ object FrontierEngine {
                 SeenIndexStore.writeManifest(st.indexDir, idx.buckets, st8.round)
                 SeenIndexStore.gc(st.indexDir, st8.round)
               }
-              idx
-            case None =>
-              val idx = SeenIndex.fromSeen(spark, st8.seen, bucketsIfNew,
-                Some(SeenIndexStore.Sink(st.indexDir, st8.round)))
-              SeenIndexStore.writeManifest(st.indexDir, idx.buckets, st8.round)
-              idx
+              // integrity cross-check (idx.count is maintained exactly;
+              // the seen side is one count job — valid because seen is
+              // unique BY HASH by construction: membership is tested on
+              // url_hash, so a colliding url is classified seen and never
+              // appended, and plain count == distinct-hash count at any
+              // scale): a missing or truncated
+              // run file SHRINKS membership silently instead of failing —
+              // on mismatch, fall back to the fromSeen rebuild. A false
+              // positive only costs the rebuild; a false negative would
+              // re-fetch/re-emit pages, so the check is deliberately
+              // conservative
+              val seenCount = st8.seen.count()
+              if (idx.count != seenCount) {
+                idx.release()
+                rebuild(st)
+              } else idx
+            case None => rebuild(st)
           }
         case None => SeenIndex.fromSeen(spark, st8.seen, bucketsIfNew)
       }

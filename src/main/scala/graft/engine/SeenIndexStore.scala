@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
 /** Durable sidecar for [[SeenIndex]]: per-bucket sorted-run files under the
@@ -102,9 +102,12 @@ object SeenIndexStore {
     } finally in.close()
   }
 
-  /** Advance the index commit marker (atomic rename, `_current` style).
+  /** Advance the index commit marker (atomic replace, `_current` style).
     * Call only after the round's run files are materialized AND the
-    * round's snapshot is committed. */
+    * round's snapshot is committed. Uses FileContext.rename(OVERWRITE) —
+    * posix rename locally, the namenode's atomic rename on HDFS — so
+    * there is never a window with no manifest (FileSystem.rename cannot
+    * overwrite and would force delete-then-rename). */
   def writeManifest(dir: String, buckets: Int, round: Int): Unit = {
     val f = fs(dir)
     f.mkdirs(new HPath(dir))
@@ -114,8 +117,35 @@ object SeenIndexStore {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new HPath(dir, "manifest.json")
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"seen-index manifest rename failed: $dst")
+    val fc = FileContext.getFileContext(f.getUri, new Configuration())
+    fc.rename(f.makeQualified(tmp), f.makeQualified(dst), Options.Rename.OVERWRITE)
+  }
+
+  /** Delete run files AHEAD of `round`. They can only belong to an
+    * abandoned timeline (manifest/store rollback — a foreign sidecar, or
+    * a writer that got ahead of a snapshot the store later lost): left in
+    * place, [[writeRun]]'s exists-skip idempotency would silently keep
+    * their stale content when the resumed crawl re-reaches those rounds —
+    * silent seen-membership corruption. Called on every resume load,
+    * before any top-up. */
+  def invalidateAhead(dir: String, round: Int): Unit = {
+    val f = fs(dir)
+    listRunFiles(dir).filter(_._2 > round)
+      .foreach(e => f.delete(new HPath(dir, e._4), false))
+  }
+
+  /** Wipe the sidecar (all run files + manifest) ahead of a full rebuild:
+    * once the manifest is missing or claims rounds the store never
+    * committed, EVERY file in the dir is suspect — including ones at
+    * rounds ≤ current, whose foreign content the exists-skip would
+    * otherwise keep over the rebuild's writes. */
+  def wipe(dir: String): Unit = {
+    val f = fs(dir)
+    if (f.exists(new HPath(dir))) {
+      listRunFiles(dir).foreach(e => f.delete(new HPath(dir, e._4), false))
+      f.delete(new HPath(dir, "manifest.json"), false)
+      ()
+    }
   }
 
   def readManifest(dir: String): Option[(Int, Int)] = {

@@ -30,7 +30,8 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Multimodal {
 
-  /** Decoded media: still images have nFrames=1; audio reports PCM frame
+  /** Decoded media: still images have nFrames=1, an animated GIF its real
+    * frame count (pixels/features stay frame-0); audio reports PCM frame
     * count in nFrames and (0,0) spatial dims. `channels` is the color
     * model's component count for images (gray 1, RGB 3, RGBA 4 — a
     * palette GIF reports its expanded RGB components) and the channel
@@ -63,18 +64,26 @@ object Multimodal {
 
   /** Real decode. Returns None for unrecognized/corrupt blobs (no throw —
     * corrupt samples are data, not errors, in a crawled corpus). */
-  def decode(blob: Array[Byte]): Option[Decoded] = sniffFormat(blob).flatMap {
-    case "wav" => decodeWav(blob)
-    case fmt => decodeImage(blob, fmt)
-  }
+  def decode(blob: Array[Byte], maxPixels: Long = MaxPixels): Option[Decoded] =
+    sniffFormat(blob).flatMap {
+      case "wav" => decodeWav(blob)
+      case fmt => decodeImage(blob, fmt, maxPixels)
+    }
 
   /** Decompression-bomb guard: a few-KB container can declare gigapixel
     * dimensions and OOM the task on pixel allocation. Read the header's
     * dimensions FIRST (no pixel decode) and reject oversized images —
-    * at corpus scale a malicious sample must cost O(header), not a task. */
-  val MaxPixels: Long = 64L * 1024 * 1024 // 256 MB of ARGB
+    * at corpus scale a malicious sample must cost O(header), not a task.
+    *
+    * Peak per-task decode memory is ~8 bytes/pixel — the BufferedImage
+    * raster plus the getRGB int array (the former third full copy inside
+    * [[pixelHash]] is now a reused 4 MB chunk) — so the default admits
+    * ≤512 MB transient per in-flight item. Tune per deployment via the
+    * `maxPixels` parameter on [[decode]]. */
+  val MaxPixels: Long = 64L * 1024 * 1024
 
-  private def decodeImage(blob: Array[Byte], fmt: String): Option[Decoded] =
+  private def decodeImage(blob: Array[Byte], fmt: String,
+      maxPixels: Long): Option[Decoded] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
       try {
@@ -82,14 +91,25 @@ object Multimodal {
         if (!readers.hasNext) return None
         val reader = readers.next()
         try {
-          reader.setInput(iis, true, true)
+          // GIF needs a searchable stream: getNumImages(allowSearch=true)
+          // throws under seekForwardOnly (the stream is in-memory either way)
+          reader.setInput(iis, fmt != "gif", true)
           val w = reader.getWidth(0)
           val h = reader.getHeight(0)
-          if (w.toLong * h > MaxPixels) return None
+          if (w.toLong * h > maxPixels) return None
+          // frame count: real for GIF (the one container here that can
+          // animate). getNumImages(true) is a stream scan — O(blob bytes),
+          // already bounded by the fetch pipeline's 5 MB body gate — and
+          // allocation stays bounded regardless: pixels come from frame 0
+          // only (features are frame-0 + frame count, the usual
+          // frame-sample discipline for corpus media).
+          val frames =
+            if (fmt == "gif") math.max(1, reader.getNumImages(true)).toLong
+            else 1L
           val img = reader.read(0)
           val px = img.getRGB(0, 0, w, h, null, 0, w)
           Some(Decoded(
-            MediaMeta(fmt, w, h, img.getColorModel.getNumComponents, 1L),
+            MediaMeta(fmt, w, h, img.getColorModel.getNumComponents, frames),
             px, Array.emptyShortArray))
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
@@ -120,19 +140,42 @@ object Multimodal {
   // ------------------------------------------------------------- features
 
   /** Content fingerprint over the DECODED data (not the container bytes):
-    * two encodings of the same pixels (png vs bmp) hash identically. */
+    * two encodings of the same pixels (png vs bmp) hash identically.
+    * Hashed in reused 4 MB chunks (hash-chaining xxh64: each chunk seeds
+    * the next) rather than one full-copy buffer — a max-size image's hash
+    * no longer adds a third ~256 MB transient to the decode's peak. */
   def pixelHash(d: Decoded): Long = {
-    val buf =
-      if (d.pixels.nonEmpty) {
-        val bb = java.nio.ByteBuffer.allocate(d.pixels.length * 4)
-        d.pixels.foreach(bb.putInt)
-        bb.array()
-      } else {
-        val bb = java.nio.ByteBuffer.allocate(d.samples.length * 2)
-        d.samples.foreach(bb.putShort)
-        bb.array()
+    val ChunkBytes = 1 << 22
+    val buf = new Array[Byte](ChunkBytes)
+    var h = 63L
+    var filled = 0
+    def flush(): Unit = if (filled > 0) {
+      val b = if (filled == ChunkBytes) buf else java.util.Arrays.copyOf(buf, filled)
+      h = graft.core.UrlNorm.xxh64(b, h)
+      filled = 0
+    }
+    if (d.pixels.nonEmpty) {
+      var i = 0
+      while (i < d.pixels.length) {
+        val p = d.pixels(i)
+        buf(filled) = (p >>> 24).toByte; buf(filled + 1) = (p >>> 16).toByte
+        buf(filled + 2) = (p >>> 8).toByte; buf(filled + 3) = p.toByte
+        filled += 4
+        if (filled == ChunkBytes) flush()
+        i += 1
       }
-    graft.core.UrlNorm.xxh64(buf, 63L)
+    } else {
+      var i = 0
+      while (i < d.samples.length) {
+        val s = d.samples(i)
+        buf(filled) = (s >> 8).toByte; buf(filled + 1) = s.toByte
+        filled += 2
+        if (filled == ChunkBytes) flush()
+        i += 1
+      }
+    }
+    flush()
+    h
   }
 
   /** Per-channel means of the decoded data — the feature-extraction stand-in
@@ -188,15 +231,21 @@ object Multimodal {
     val h = graft.core.UrlNorm.xxh64(BigInt(id).toByteArray, 7L)
     java.lang.Math.floorMod(h, 5L).toInt match {
       case 4 => synthesizeWav(h)
-      case f => synthesizeImage(h, Seq("png", "jpeg", "bmp", "gif")(f))
+      case 3 =>
+        // every 4th GIF is ANIMATED (2-4 frames) so the decoded n_frames
+        // field is exercised beyond the still-image constant 1
+        val frames =
+          if (java.lang.Math.floorMod(h >> 24, 4L) == 0L)
+            2 + java.lang.Math.floorMod(h >> 28, 3L).toInt
+          else 1
+        synthesizeImage(h, "gif", frames)
+      case f => synthesizeImage(h, Seq("png", "jpeg", "bmp")(f))
     }
   }
 
-  private def synthesizeImage(h: Long, fmt: String): Array[Byte] = {
-    val w = 16 + java.lang.Math.floorMod(h >> 8, 48L).toInt
-    val ht = 16 + java.lang.Math.floorMod(h >> 16, 48L).toInt
+  private def frameImage(h: Long, w: Int, ht: Int, frame: Int): BufferedImage = {
     val img = new BufferedImage(w, ht, BufferedImage.TYPE_INT_RGB)
-    var x = h | 1L
+    var x = (h + frame * 0x9E3779B97F4A7C15L) | 1L
     var yy = 0
     while (yy < ht) {
       var xx = 0
@@ -207,9 +256,32 @@ object Multimodal {
       }
       yy += 1
     }
+    img
+  }
+
+  private def synthesizeImage(h: Long, fmt: String, nFrames: Int = 1): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(h >> 8, 48L).toInt
+    val ht = 16 + java.lang.Math.floorMod(h >> 16, 48L).toInt
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, fmt, bos)
+    if (nFrames <= 1) ImageIO.write(frameImage(h, w, ht, 0), fmt, bos)
+    else writeAnimated(fmt, bos,
+      (0 until nFrames).map(f => frameImage(h, w, ht, f)))
     bos.toByteArray
+  }
+
+  /** Multi-frame encode via the writer's sequence API (GIF here — the one
+    * bundled codec that animates). */
+  private def writeAnimated(fmt: String, bos: ByteArrayOutputStream,
+      frames: Seq[BufferedImage]): Unit = {
+    val writer = ImageIO.getImageWritersByFormatName(fmt).next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
   }
 
   private def synthesizeWav(h: Long): Array[Byte] = {

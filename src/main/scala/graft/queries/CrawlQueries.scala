@@ -200,6 +200,38 @@ object CrawlQueries {
               |GROUP BY host, user_agent, reason
               |ORDER BY host, user_agent, reason""".stripMargin)),
 
+    // politeness DEFERRAL (deferSeconds > 0, reference fetch.ts:92-107
+    // retry-seconds): budget-overflow rows are stamped next_fetch_time =
+    // round + defer, so a saturated host's backlog re-ranks BEHIND
+    // fresher same-priority work in later rounds. The re-rank semantics
+    // themselves are CrawlSpec-pinned vs the scalar oracle; this driver
+    // row runs the deferral path under the driver gate — the materialized
+    // crawl order is hash-pinned and the oracle re-asserts the budget cap
+    // and the deferral spread (a depth's pages smeared across rounds)
+    QuerySpec(
+      "q94_crawl_deferral",
+      (s, _) => {
+        val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
+          hostBudget = 5, web = web, deferSeconds = 3L)
+        val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
+        val rows = OracleMat(s, "q94")(
+          fetched.select("round", "host", "depth", "url", "order_idx"))
+        rows.groupBy(col("round"), col("host"))
+          .agg(count(lit(1)).as("fetched"),
+            min(col("order_idx")).as("min_idx"),
+            max(col("order_idx")).as("max_idx"),
+            min(col("depth")).as("min_depth"),
+            max(col("depth")).as("max_depth"),
+            (count(lit(1)) <= 5).as("within_budget"))
+          .orderBy(col("round"), col("host"))
+      },
+      Some(s"""SELECT round, host, count(*) AS fetched,
+              |       min(order_idx) AS min_idx, max(order_idx) AS max_idx,
+              |       min(depth) AS min_depth, max(depth) AS max_depth,
+              |       count(*) <= 5 AS within_budget
+              |FROM ${OracleMat.src("q94")}
+              |GROUP BY round, host ORDER BY round, host""".stripMargin)),
+
     // robots gate: per-status outcome counts over a crawl with denials
     QuerySpec(
       "q34_robots_gate",

@@ -168,54 +168,27 @@ object SimilarityQueries {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
         val nCells = 16
         val nProbe = 6
-        val dims = 64
-        // centroid training: hash-seeded init + 2 Lloyd iterations over a
-        // deterministic sample (standard IVF training; sample is bounded so
-        // the driver-side step stays O(sample), not O(table)). The 1000-row
-        // collect is BOUNDED BY CONSTRUCTION (limit precedes it) and is how
-        // production IVF trains too — on a sample, not the corpus; at 100 TB
-        // you'd raise the sample and swap this loop for distributed
-        // k-means|| init, behind the same AnnRecallSpec recall gates. Only
-        // the assignment + rerank below are O(table), and they stay
-        // distributed.
-        val init: Array[Array[Double]] = Array.tabulate(nCells, dims) { (c, i) =>
-          val h = graft.core.UrlNorm.xxh64(
-            java.nio.ByteBuffer.allocate(8).putInt(c).putInt(i).array(), 11L)
-          h.toDouble / Long.MaxValue.toDouble
-        }
-        val sample = e.orderBy(col("vec_id")).limit(1000)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray)
-        var centroids = init
-        (0 until 2).foreach { _ =>
-          val sums = Array.fill(nCells, dims)(0.0)
-          val counts = new Array[Int](nCells)
-          sample.foreach { v =>
-            var bestC = 0; var bestD = Double.NegativeInfinity
-            var c = 0
-            while (c < nCells) {
-              var d = 0.0; var i = 0
-              while (i < dims) { d += v(i) * centroids(c)(i); i += 1 }
-              if (d > bestD) { bestD = d; bestC = c }
-              c += 1
-            }
-            var i = 0
-            while (i < dims) { sums(bestC)(i) += v(i); i += 1 }
-            counts(bestC) += 1
-          }
-          centroids = Array.tabulate(nCells, dims) { (c, i) =>
-            if (counts(c) > 0) sums(c)(i) / counts(c) else centroids(c)(i)
-          }
-        }
+        // centroid training: DISTRIBUTED k-means|| init (Bahmani et al.,
+        // VLDB 2012 — [[graft.ops.KMeansPar]]): every O(table) step is a
+        // distributed pass; driver state is only the candidate set,
+        // bounded by construction. This is the 100 TB path directly — no
+        // bounded-sample collect remains in the training.
+        val centroids = graft.ops.KMeansPar.init(s, e, "vec_id", "embedding",
+          k = nCells, rounds = 3, oversample = 2, seed = 42L)
         val bc = s.sparkContext.broadcast(centroids)
+        // coarse quantization by MIN EUCLIDEAN distance — the same metric
+        // the centroids were trained under (FAISS IVF-Flat shape: an L2
+        // coarse quantizer, exact-cosine rerank within probed cells)
         def cellsOf(k: Int) = udf { (vec: Seq[Float]) =>
           val cs = bc.value
           val scored = cs.indices.map { c =>
             var d = 0.0
             var i = 0
-            while (i < dims) { d += vec(i) * cs(c)(i); i += 1 }
+            while (i < cs(c).length) {
+              val t = vec(i) - cs(c)(i); d += t * t; i += 1
+            }
             (c, d)
-          }.sortBy(-_._2).take(k).map(_._1)
+          }.sortBy(_._2).take(k).map(_._1)
           scored
         }
         // data side: each vector in its single best cell; query side probes

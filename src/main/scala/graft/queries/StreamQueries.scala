@@ -137,6 +137,9 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("size_bytes")).cast("long").as("total_bytes"),
           sum(col("n_frames")).cast("long").as("total_frames"),
+          // r7: the generator emits multi-frame GIFs — the gif row must
+          // carry n_animated > 0 (real reader-side frame counts, not 1s)
+          sum(when(col("n_frames") > 1, 1).otherwise(0)).cast("long").as("n_animated"),
           sum(col("n_sampled_frames")).cast("long").as("total_sampled"),
           sum(col("mean_c0_x100")).cast("long").as("sum_mean_c0_x100"),
           expr("bit_xor(pixel_hash)").as("xor_pixel_hash"),
@@ -145,6 +148,7 @@ object StreamQueries {
     }, Some(s"""SELECT format, count(*) AS n,
                |       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
                |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               |       CAST(sum(CASE WHEN n_frames > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_animated,
                |       CAST(sum(n_sampled_frames) AS BIGINT) AS total_sampled,
                |       CAST(sum(mean_c0_x100) AS BIGINT) AS sum_mean_c0_x100,
                |       bit_xor(pixel_hash) AS xor_pixel_hash,

@@ -288,6 +288,101 @@ class CrawlSpec extends AnyFunSuite {
     assert(seenResumed.count() == oracle.seen.size)
   }
 
+  test("durable seen index: stale run files AHEAD of the committed round are invalidated on resume") {
+    // the abandoned-timeline case (r6 ADVICE): a rolled-back store leaves
+    // run files at rounds ahead of the new manifest; writeRun's
+    // exists-skip idempotency would silently keep their stale content
+    // when the resumed crawl re-reaches those rounds
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-stale").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 2), Some(store))
+    val committed = store.currentRound.get
+    val planted = Array(111L, 333L)
+    SeenIndexStore.writeRun(store.indexDir, 0, committed + 1, base = false, planted)
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+    // the planted file must be gone or re-written with the round's REAL
+    // delta — never kept verbatim by the exists-skip
+    val name = s"b0_r${committed + 1}_delta.run"
+    if (new java.io.File(store.indexDir, name).exists())
+      assert(!SeenIndexStore.readRun(store.indexDir, name).sameElements(planted),
+        "planted stale-timeline run survived the resume")
+    // a further resume loads the (now clean) sidecar and stays exact
+    val (again, _) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(again).toSeq == oracleRows(oracle))
+  }
+
+  test("durable seen index: a manifest AHEAD of the store wipes the dir and rebuilds") {
+    // foreign/corrupt sidecar: the manifest claims rounds the store never
+    // committed — nothing in the dir is trustworthy, including files at
+    // rounds <= current whose content the exists-skip would keep
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-foreign").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 2), Some(store))
+    // poison one real run file in place, then point the manifest ahead
+    val idxDir = new java.io.File(store.indexDir)
+    val victim = idxDir.list().filter(_.endsWith(".run")).min
+    new java.io.File(idxDir, victim).delete()
+    val re = "b(\\d+)_r(\\d+)_(base|delta)\\.run".r
+    val re(vb, vr, vkind) = victim
+    SeenIndexStore.writeRun(store.indexDir, vb.toInt, vr.toInt,
+      base = vkind == "base", Array(12345L))
+    val (buckets, _) = SeenIndexStore.readManifest(store.indexDir).get
+    SeenIndexStore.writeManifest(store.indexDir, buckets, 99)
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+    // the poisoned file cannot have survived the rebuild's wipe
+    if (new java.io.File(idxDir, victim).exists())
+      assert(!SeenIndexStore.readRun(store.indexDir, victim).sameElements(Array(12345L)),
+        "foreign-sidecar run survived the wipe")
+    val (again, _) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(again).toSeq == oracleRows(oracle))
+  }
+
+  test("durable seen index: a truncated run file fails the count cross-check and rebuilds") {
+    // silent-shrink case (r6 ADVICE): a run file losing hashes doesn't
+    // fail structurally — membership just silently shrinks. The resume's
+    // idx.count vs committed-seen-count check must catch it and fall back
+    // to the fromSeen rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("crawl-idx-trunc").toString
+    val store = new SnapshotStore(dir)
+    val ocfg = CrawlOracle.Config(2, 200, 7, true, true, web)
+    val oracle = CrawlOracle.run(seeds(1), ocfg)
+    val ecfg = FrontierEngine.Config(2, 200, 7, true, true, 4, web,
+      exactSeenIndex = true)
+    FrontierEngine.crawl(spark, seeds(1), ecfg.copy(maxRounds = 2), Some(store))
+    val committed = store.currentRound.get
+    val idxDir = new java.io.File(store.indexDir)
+    val re = "b(\\d+)_r(\\d+)_(base|delta)\\.run".r
+    // drop one hash from the largest run file (stays bucket-valid, so
+    // nothing fails loudly — only the count can notice)
+    val victim = idxDir.list().filter(_.endsWith(".run"))
+      .maxBy(n => SeenIndexStore.readRun(store.indexDir, n).length)
+    val content = SeenIndexStore.readRun(store.indexDir, victim)
+    assert(content.length >= 2, s"no run file large enough to truncate")
+    val re(vb, vr, vkind) = victim
+    new java.io.File(idxDir, victim).delete()
+    SeenIndexStore.writeRun(store.indexDir, vb.toInt, vr.toInt,
+      base = vkind == "base", content.drop(1))
+    val (resumed, seenResumed) = FrontierEngine.crawl(spark, seeds(1), ecfg, Some(store))
+    assert(engineRows(resumed).toSeq == oracleRows(oracle))
+    assert(seenResumed.count() == oracle.seen.size)
+    // rebuild proof: fromSeen re-seeded the sidecar with base files at the
+    // resumed-from round (a plain top-up never writes those)
+    assert(idxDir.list().exists(_.matches(s"b\\d+_r${committed}_base\\.run")),
+      s"no rebuild base at r$committed: ${idxDir.list().sorted.toSeq}")
+  }
+
   test("SeenIndexStore: run files round-trip; load plans newest base + later deltas; gc prunes") {
     val dir = java.nio.file.Files.createTempDirectory("seen-idx-store").toString
     // bucket layout invariant: bucket b holds hashes with floorMod(h, 2) == b

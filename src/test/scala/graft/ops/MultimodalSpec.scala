@@ -104,6 +104,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(64L * 64L <= Multimodal.MaxPixels)
   }
 
+  test("animated GIF: hand-built 2-frame sequence reports nFrames=2, stills stay 1") {
+    // hand-encode via the writer's sequence API — independent of the
+    // generator's writeAnimated path in what it asserts (frame COUNT comes
+    // back from the reader's stream scan, not from our own bookkeeping)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new javax.imageio.IIOImage(knownImage(12, 8), null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(knownImage(12, 8), null, null), null)
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    val d = Multimodal.decode(bos.toByteArray).get
+    assert(d.meta.format == "gif")
+    assert(d.meta.nFrames == 2L)
+    assert(d.meta.width == 12 && d.meta.height == 8)
+    // a still GIF through the plain writer stays nFrames=1
+    val still = Multimodal.decode(encode(knownImage(12, 8), "gif")).get
+    assert(still.meta.nFrames == 1L)
+  }
+
+  test("generator emits animated GIFs; their pixels decode from frame 0") {
+    val gifs = (0L until 400L).map(Multimodal.synthesizeBlob)
+      .filter(b => Multimodal.sniffFormat(b).contains("gif"))
+      .map(b => Multimodal.decode(b).get)
+    assert(gifs.nonEmpty)
+    val animated = gifs.filter(_.meta.nFrames > 1L)
+    assert(animated.nonEmpty, "the deterministic subset of animated GIFs must appear")
+    assert(animated.forall(d => d.pixels.length == d.meta.width * d.meta.height))
+    assert(gifs.exists(_.meta.nFrames == 1L), "still GIFs must remain too")
+  }
+
+  test("chunked pixel hash: single-chunk path equals a direct whole-buffer hash; multi-chunk chains") {
+    val d = Multimodal.decode(encode(knownImage(20, 10), "png")).get
+    val bb = java.nio.ByteBuffer.allocate(d.pixels.length * 4)
+    d.pixels.foreach(bb.putInt)
+    assert(Multimodal.pixelHash(d) == graft.core.UrlNorm.xxh64(bb.array(), 63L),
+      "sub-4MB media must hash exactly as one buffer")
+    // >1 chunk (4 MB = 1M pixels): expected value is the explicit chain
+    val big = Multimodal.Decoded(
+      Multimodal.MediaMeta("png", 1500, 1000, 3, 1L),
+      Array.tabulate(1500 * 1000)(i => i * 2654435761L.toInt), Array.emptyShortArray)
+    val chunkInts = (1 << 22) / 4
+    var h = 63L
+    big.pixels.grouped(chunkInts).foreach { chunk =>
+      val cb = java.nio.ByteBuffer.allocate(chunk.length * 4)
+      chunk.foreach(cb.putInt)
+      h = graft.core.UrlNorm.xxh64(cb.array(), h)
+    }
+    assert(Multimodal.pixelHash(big) == h)
+  }
+
   test("corrupt and unknown blobs decode to None, not an exception") {
     assert(Multimodal.decode(null).isEmpty)
     assert(Multimodal.decode(Array.emptyByteArray).isEmpty)
