@@ -94,7 +94,10 @@ object KMeansPar {
           val sampled = pts.filter { case (id, v) =>
             u01(idHash(id, seed + 1 + r)) < ell * minSqDist(v, bc.value) / phi
           }.map { case (id, v) => (idHash(id, seed + 101 + r), v) }
-            .collect().sortBy(_._1).take(capPerRound)
+            // takeOrdered, not collect-then-take: the executors keep only
+            // capPerRound rows each and the driver merges capped heaps, so
+            // the cap bounds DRIVER MEMORY structurally, not just the list
+            .rdd.takeOrdered(capPerRound)(Ordering.by(_._1))
           centers ++= sampled.map(_._2.map(_.toDouble))
         }
         bc.destroy()
