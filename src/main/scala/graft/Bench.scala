@@ -182,12 +182,16 @@ object Bench {
     val ready = new java.util.concurrent.CountDownLatch(threads)
     val go = new java.util.concurrent.CountDownLatch(1)
     val bytes = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val endNanos = new java.util.concurrent.atomic.AtomicLongArray(threads)
     // bytes and wall-clock must cover the SAME interval or the 8- vs
     // 32-thread ratio is biased: threads wait on a start barrier (no
-    // pre-t0 bytes), scan in chunks and count only chunks completed
-    // before observing stop (tail bounded by one chunk, ~1 ms), and the
-    // clock stops when the flag is raised, not when the slowest thread
-    // drains its in-flight full-buffer pass.
+    // pre-t0 bytes), and each thread records ITS OWN stop timestamp after
+    // finishing its in-flight chunk — per-thread bytes over per-thread
+    // elapsed, summed as rates. A shared clock stopped at flag-raise
+    // over-counted the chunks that complete in the race between the flag
+    // and each thread observing it (up to threads × one chunk — a bias
+    // that GROWS with thread count and inflated the 32-vs-8 ratio ~1-2%
+    // at 700 ms windows).
     val chunk = 1 << 20 // 8 MiB of longs
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
@@ -209,6 +213,7 @@ object Bench {
           n += (end - off).toLong * 8
           off = if (end == buf.length) 0 else end
         }
+        endNanos.set(t, System.nanoTime())
         bytes.set(t, n + (acc & 1)) // fold acc in so the scan can't be elided
       })
       th.start(); th
@@ -218,11 +223,12 @@ object Bench {
     go.countDown()
     Thread.sleep(ms)
     stop.set(true)
-    val secs = (System.nanoTime() - t0) / 1e9
     ts.foreach(_.join())
-    var tot = 0L
-    (0 until threads).foreach(t => tot += bytes.get(t))
-    tot / secs / 1e9
+    var rate = 0.0
+    (0 until threads).foreach { t =>
+      rate += bytes.get(t) / ((endNanos.get(t) - t0) / 1e9)
+    }
+    rate / 1e9
   }
 
   /** Throttle-independent control: the extraction kernel on plain JVM
@@ -295,20 +301,57 @@ object Bench {
     * buckets) path CrawlSpec proves at toy scale), and end-to-end pages/s
     * both ways. */
   private def crawlResumeBench(spark: SparkSession): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bench_resume")
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
       }
-    try {
-      val (pagesF, roundsF, secsF) =
-        crawlPoint(spark, 1024, 2000, 512, 16000, 8, 800000, seenIndex = true)
-      val store = new engine.SnapshotStore(dir.toString)
+    def free() =
+      crawlPoint(spark, 1024, 2000, 512, 16000, 8, 800000, seenIndex = true)
+    def stored(store: engine.SnapshotStore, maxRounds: Int = Int.MaxValue) =
+      crawlPoint(spark, 1024, 2000, 512, 16000, 8, 800000, seenIndex = true,
+        store = Some(store), maxRounds = maxRounds)
+    def withStoreDir[A](f: engine.SnapshotStore => A): A = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_resume")
+      try f(new engine.SnapshotStore(dir.toString)) finally rmTree(dir)
+    }
+    // --- commit overhead: INTERLEAVED A/B pairs -------------------------
+    // A single sequential A/B cannot separate commit cost from the host's
+    // credit-state drift: r7's two artifacts read 1.9% (rested local run)
+    // and 43.8% (driver run whose commit-free leg caught a fresh window
+    // its store leg didn't). Alternating full store-backed and commit-free
+    // legs puts both sides of each pair in near-identical credit states;
+    // the headline is the MEDIAN over pairs and the per-pair spread rides
+    // in the artifact. Leg order flips per pair so neither side
+    // systematically gets the fresher window.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_RESUME_REPS", "3").toInt
+    val pairs = (0 until reps).map { r =>
+      val storeFirst = r % 2 == 1
+      val (secsF, secsS, pagesF, pagesS) =
+        if (storeFirst) {
+          val (ps, _, ss) = withStoreDir(st => stored(st))
+          val (pf, _, sf) = free()
+          (sf, ss, pf, ps)
+        } else {
+          val (pf, _, sf) = free()
+          val (ps, _, ss) = withStoreDir(st => stored(st))
+          (sf, ss, pf, ps)
+        }
+      require(pagesF == pagesS, s"store/free page divergence: $pagesF vs $pagesS")
+      (secsF, secsS, (secsS / secsF - 1.0) * 100, storeFirst)
+    }
+    val overheadMedian = median(pairs.map(_._3))
+    val pairsJson = pairs.map { case (sf0, ss, oh, storeFirst) =>
+      s"""{"free_secs":${f"$sf0%.1f"},"store_secs":${f"$ss%.1f"},
+         |"overhead_pct":${f"$oh%.1f"},
+         |"order":"${if (storeFirst) "store-first" else "free-first"}"}"""
+        .stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    // --- kill + resume equivalence and cold-load cost -------------------
+    withStoreDir { store =>
+      val (pagesF, roundsF, secsF) = free()
       val killAt = math.max(1, (roundsF / 2).toInt)
-      val (pages1, rounds1, secs1) =
-        crawlPoint(spark, 1024, 2000, 512, 16000, 8, 800000, seenIndex = true,
-          store = Some(store), maxRounds = killAt)
+      val (pages1, rounds1, secs1) = stored(store, maxRounds = killAt)
       // standalone cold-load probe: what a restarted driver pays before its
       // first round (snapshot state + sidecar index; released right after)
       val (_, loadSecs) = time {
@@ -317,13 +360,10 @@ object Bench {
           .foreach(_._1.release())
         st.fetchedCount
       }
-      val (pages2, rounds2, secs2) =
-        crawlPoint(spark, 1024, 2000, 512, 16000, 8, 800000, seenIndex = true,
-          store = Some(store))
+      val (pages2, rounds2, secs2) = stored(store)
       // equivalence rides in the artifact rather than a require: a crashed
       // bench loses the whole JSON, a false flag is itself the evidence
       val matches = pages2 == pagesF && rounds2 == roundsF
-      val storeSecs = secs1 + secs2
       s"""{"resume_matches":$matches,
          |"commit_free":{"pages":$pagesF,"rounds":$roundsF,
          |"secs":${f"$secsF%.1f"},"pages_per_sec":${(pagesF / secsF).round}},
@@ -331,11 +371,10 @@ object Bench {
          |"resume_load_secs":${f"$loadSecs%.2f"},
          |"store_resumed":{"pages_total":$pages2,"rounds_total":$rounds2,
          |"secs":${f"$secs2%.1f"}},
-         |"store_total_secs":${f"$storeSecs%.1f"},
-         |"store_pages_per_sec":${(pages2 / storeSecs).round},
-         |"commit_overhead_pct":${f"${(storeSecs / secsF - 1.0) * 100}%.1f"}}"""
+         |"ab_pairs":$pairsJson,
+         |"commit_overhead_pct_median":${f"$overheadMedian%.1f"}}"""
         .stripMargin.replace("\n", "")
-    } finally rmTree(dir)
+    }
   }
 
   /** Seen-membership microbench at the seen-heavy ratio (seen >> round
@@ -392,7 +431,13 @@ object Bench {
       // the largest round fetches ~700k pages — the marginal-cost regime
       // the 100 TB extrapolation needs (pages_per_round below is the mean)
       ("xlarge_rounds", 1024, 2000, 512, 16000, 8, 800000, false),
-      ("xlarge_rounds_seen_index", 1024, 2000, 512, 16000, 8, 800000, true))
+      ("xlarge_rounds_seen_index", 1024, 2000, 512, 16000, 8, 800000, true)) ++
+      // one more decade toward the kernel bound (3.2M pages, ~640k-page
+      // final round) — opt-in: it adds ~2 min and real memory pressure,
+      // which the driver's default bench window shouldn't pay every round
+      (if (sys.env.get("SPARK_GRAFT_AMORT_XXL").contains("1"))
+        Seq(("xxlarge4x_rounds", 2048, 2000, 1024, 32000, 8, 3200000, true))
+      else Seq.empty)
     val rows = points.map { case (label, h, pph, seeds, budget, depth, maxP, idx) =>
       val (pages, rounds, secs) = crawlPoint(spark, h, pph, seeds, budget, depth, maxP, idx)
       val perRound = if (rounds > 0) pages / rounds else 0L
@@ -405,6 +450,163 @@ object Bench {
         .replace("\n", "")
     }.mkString("[", ",", "]")
     (headline, json)
+  }
+
+  /** ANN quality characterization: recall@10 of the IVF- and LSH-bucketed
+    * paths against the brute-force cosine ground truth, swept across the
+    * knobs a 100 TB ANN user turns first (IVF nprobe, LSH table count).
+    * AnnRecallSpec's ≥0.4 bar is a floor; this block commits the full
+    * operating curve as a machine artifact. Runs over the driver's
+    * embeddings table (sf0.1: 2000 × 64-dim vectors, 50 query vectors). */
+  private def annRecallBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    e.count()
+    val nQ = 50
+    val kTop = 10
+    val cos = queries.SimilarityQueries.cosineUdf
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def topk(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kTop)
+        .select("query_id", "neighbor_id")
+    }
+    val data = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val brute = topk(broadcast(q).crossJoin(data)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos(col("qv"), col("cv")))).cache()
+    val nTruth = brute.count().toDouble // nQ × kTop
+    def measure(cand: DataFrame): (Double, Long, Double) = {
+      val ((recall, nCand), secs) = time {
+        val c = cand.dropDuplicates("query_id", "neighbor_id").cache()
+        val n = c.count()
+        val hits = topk(c.withColumn("sim", cos(col("qv"), col("cv"))))
+          .join(brute, Seq("query_id", "neighbor_id")).count()
+        c.unpersist()
+        (hits / nTruth, n)
+      }
+      (recall, nCand, secs)
+    }
+    // --- IVF: one k-means|| quantizer (the q76 shape), nprobe swept ------
+    val nCells = 16
+    val centroids = ops.KMeansPar.init(spark, e, "vec_id", "embedding",
+      k = nCells, rounds = 3, oversample = 2, seed = 42L)
+    val bc = spark.sparkContext.broadcast(centroids)
+    def cellsOf(k: Int) = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < cs(c).length) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(k).map(_._1)
+    }
+    val cells = e.withColumn("cell", explode(cellsOf(1)(col("embedding"))))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .cache()
+    cells.count()
+    val ivfJson = Seq(1, 2, 4, 8, 12).map { nprobe =>
+      val qc = q.withColumn("cell", explode(cellsOf(nprobe)(col("qv"))))
+      val (recall, nCand, secs) = measure(
+        qc.join(cells, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id")))
+      s"""{"nprobe":$nprobe,"recall_at_10":${f"$recall%.3f"},
+         |"candidates":$nCand,"secs":${f"$secs%.2f"}}""".stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    cells.unpersist()
+    // --- LSH: random-hyperplane signatures, table count swept (4-bit
+    //     bands; tables × 4 planes per signature — the q25 shape) ---------
+    val lshJson = Seq(4, 8, 16).map { tables =>
+      val sig = queries.SimilarityQueries.rhpSignature(col("embedding"), tables * 4)
+      val banded = e.withColumn("sig", sig)
+        .select(col("vec_id"), col("embedding"), posexplode(
+          array((0 until tables).map(b =>
+            shiftrightunsigned(col("sig"), b * 4).bitwiseAND(0xFL)): _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "bucket")
+      val qb = banded.filter(col("vec_id") < nQ)
+        .select(col("band_id"), col("bucket"),
+          col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cb = banded.select(col("band_id"), col("bucket"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val (recall, nCand, secs) = measure(
+        qb.join(cb, Seq("band_id", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id")))
+      s"""{"tables":$tables,"bits_per_band":4,"recall_at_10":${f"$recall%.3f"},
+         |"candidates":$nCand,"secs":${f"$secs%.2f"}}""".stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    brute.unpersist(); e.unpersist()
+    s"""{"n_queries":$nQ,"k":$kTop,"ivf_cells":$nCells,
+       |"ivf":$ivfJson,"lsh":$lshJson}""".stripMargin.replace("\n", "")
+  }
+
+  /** Similarity-at-scale: MinHash-LSH near-dup pairs + connected-component
+    * clustering over a synthetic near-dup corpus at two sizes — the
+    * `crawl_amortization` analogue for the LLM-dedup family. The corpus is
+    * generated deterministically per doc_id (no data files): docs come in
+    * groups of five where the fifth is a one-token mutation of the first
+    * (token-set Jaccard 48/52 ≈ 0.92, above the 0.8 confirm bar), the rest
+    * unique draws from a ~1M-token vocabulary. True pairs/clusters are
+    * docs/5 each, so CANDIDATE PAIR COUNTS must grow ~linearly in docs —
+    * the no-all-pairs-blowup evidence (the bucket join is plan-gated in
+    * PlanSpec; this is the runtime counterpart at millions of docs). */
+  private def dedupScaleBench(spark: SparkSession, sizes: Seq[Long]): String = {
+    val mkToks = udf { (id: Long) =>
+      val isDup = id % 5 == 4
+      val seedId = if (isDup) id - 4 else id
+      val n = 50
+      val toks = new Array[String](n)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      var i = 0
+      while (i < n) {
+        bb.clear(); bb.putLong(seedId); bb.putLong(i.toLong)
+        val h = core.UrlNorm.xxh64(bb.array(), 0L)
+        toks(i) = "t" + java.lang.Long.toHexString(h & 0xFFFFFL)
+        i += 1
+      }
+      // near-dup: one doc-specific token at a fixed middle position (kills
+      // 3 of 48 shingles → shingle-Jaccard ≈ 0.88, band-detect p ≈ 0.97)
+      if (isDup) {
+        bb.clear(); bb.putLong(id); bb.putLong(9999L)
+        toks(25) = "m" + java.lang.Long.toHexString(core.UrlNorm.xxh64(bb.array(), 0L) & 0xFFFFFL)
+      }
+      toks
+    }
+    // untimed JIT/codegen warmup at 1/50 of the smallest size — the first
+    // sized point otherwise absorbs ~10 s of one-time cost and the
+    // docs/s-vs-size comparison (the whole point of the block) skews
+    locally {
+      val w = spark.range(math.max(1000L, sizes.min / 50))
+        .select(col("id").as("doc_id"), mkToks(col("id")).as("toks"))
+      queries.DedupQueries.minhashPairs(w).count()
+      ()
+    }
+    val rows = sizes.map { n =>
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        mkToks(col("id")).as("toks"))
+      // staged so the candidate cardinality (the blowup detector) is
+      // counted without recomputing the signature pass
+      val candDf = queries.DedupQueries.minhashCandidates(docs).cache()
+      val (nCand, candSecs) = time { candDf.count() }
+      val pairsDf = queries.DedupQueries.confirmJaccard(docs, candDf).cache()
+      val (nConfirmed, confirmSecs) = time { pairsDf.count() }
+      candDf.unpersist()
+      val (nClusters, ccSecs) = time {
+        queries.DedupQueries.ccLabels(spark, pairsDf)
+          .select("label").distinct().count()
+      }
+      pairsDf.unpersist()
+      val pairSecs = candSecs + confirmSecs
+      s"""{"docs":$n,"minhash_secs":${f"$pairSecs%.1f"},
+         |"lsh_secs":${f"$candSecs%.1f"},"confirm_secs":${f"$confirmSecs%.1f"},
+         |"docs_per_sec":${(n / pairSecs).round},
+         |"candidate_pairs":$nCand,"confirmed_pairs":$nConfirmed,
+         |"clusters":$nClusters,"cc_secs":${f"$ccSecs%.1f"}}"""
+        .stripMargin.replace("\n", "")
+    }
+    rows.mkString("[", ",", "]")
   }
 
   /** Time each pack query. A throwing query records wall = -1.0 plus its
@@ -428,10 +630,17 @@ object Bench {
     * driver's stdout capture is a tail that truncated r6's pack block and
     * gated flags away — the file is the durable record
     * (override with SPARK_GRAFT_BENCH_OUT). */
-  private def emit(json: String): Unit = {
+  private def benchOutPath: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    "/root/repo/bench/BENCH_full_last.json")
+
+  /** Print the artifact AND persist it whole under `bench/`. When a
+    * `compact` summary is given it is printed LAST: the driver keeps only a
+    * stdout TAIL, which can start mid-way through the full JSON line (r7's
+    * BENCH_r07.json had `parsed: null` for exactly that reason) — a short
+    * final line parses under any tail length and points at the full file. */
+  private def emit(json: String, compact: String = ""): Unit = {
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench/BENCH_full_last.json")
+    val out = benchOutPath
     try {
       val p = java.nio.file.Paths.get(out)
       Option(p.getParent).foreach(d => { java.nio.file.Files.createDirectories(d); () })
@@ -441,6 +650,7 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"[bench] artifact write failed: $e")
     }
+    if (compact.nonEmpty) println(compact)
   }
 
   def main(args: Array[String]): Unit = {
@@ -459,6 +669,8 @@ object Bench {
     val schedN = sys.env.getOrElse("SPARK_GRAFT_SCHED_N", "128000000").toLong
     val extractN = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_N", "800000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+    val dedupSizes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "1000000,4000000")
+      .split(",").map(_.trim.toLong).toSeq
 
     // dev loop: run ONLY the crawl-amortization curve + membership A/B
     if (sys.env.get("SPARK_GRAFT_AMORT_ONLY").contains("1")) {
@@ -479,8 +691,27 @@ object Bench {
       return
     }
 
+    // dev loop: run ONLY the ANN recall sweep
+    if (sys.env.get("SPARK_GRAFT_ANN_ONLY").contains("1")) {
+      val s = session(cpus)
+      val json = annRecallBench(s, sfDir)
+      emit(s"""{"metric":"ann_recall","ann_recall":$json}""")
+      s.stop()
+      return
+    }
+
+    // dev loop: run ONLY the dedup-at-scale sweep
+    if (sys.env.get("SPARK_GRAFT_DEDUP_ONLY").contains("1")) {
+      val s = session(cpus)
+      val json = dedupScaleBench(s, dedupSizes)
+      emit(s"""{"metric":"dedup_scale","dedup_scale":$json}""")
+      s.stop()
+      return
+    }
+
     // ---- scaling runs: same job at both parallelism levels --------------
     var scalingJson = ""
+    var compactGates = "" // gate flags repeated on the compact trailing line
     if (!skipScaling) {
       // The sandbox host throttles sustained >8-core load on a burst-credit
       // budget (controlled spin test: 32-thread pure arithmetic runs at 17G
@@ -529,6 +760,14 @@ object Bench {
         def schedEffBest: Double =
           if (sched8.isEmpty || sched32.isEmpty) 0.0
           else (sched32.max / sched8.max) / 4.0
+        /** Sched efficiency normalized by the SAME attempt's measured
+          * DRAM-bandwidth scaling: the physical ceiling any shared-memory
+          * local[N] comparison can show (each N→4N EXECUTOR brings its own
+          * memory bus; one box does not). ≥0.85 of the attempt's own membw
+          * ceiling with a passing kernel control is the machine-readable
+          * form of the DRAM-ceiling argument (r7 verdict, next-round #1). */
+        def schedEffNorm: Double =
+          if (membwEff > 0) schedEffBest / membwEff else 0.0
         def extractEffBest: Double =
           if (extr8.isEmpty || extr32.isEmpty) 0.0
           else (extr32.max / extr8.max) / 4.0
@@ -619,6 +858,12 @@ object Bench {
       // 32-thread legs back-to-back.
       def schedGatedIn(a: Attempt) = !a.aborted && a.kernelEff >= 0.7 && a.schedEffBest >= 0.8
       def extractGatedIn(a: Attempt) = !a.aborted && a.kernelEff >= 0.7 && a.extractEffBest >= 0.7
+      // the membw-normalized companion criterion (r7 verdict #1): ≥3
+      // attempts whose sched eff reaches 0.85 of their OWN attempt's
+      // DRAM-bandwidth ceiling, kernel control passing — machine-readable
+      // evidence that shared DRAM, not the engine, caps the raw ratio
+      def schedNormGatedIn(a: Attempt) =
+        !a.aborted && a.kernelEff >= 0.7 && a.schedEffNorm >= 0.85
       var done = false
       var i = 0
       while (!done && i < maxAttempts) {
@@ -628,8 +873,9 @@ object Bench {
         // north-rule headline — first).
         attempts += runAttempt(gateOnKernel = i < maxAttempts - 1,
           extractFirst = i % 2 == 1)
-        done = attempts.exists(schedGatedIn) &&
-          (schedOnly || attempts.exists(extractGatedIn))
+        val schedDone = attempts.exists(schedGatedIn) ||
+          attempts.count(schedNormGatedIn) >= 3
+        done = schedDone && (schedOnly || attempts.exists(extractGatedIn))
         i += 1
         // a failed attempt means the credit budget, not the spin probe, is
         // the limiter (the probe can read >20 Gops while sustained load
@@ -660,13 +906,14 @@ object Bench {
       val extractSrc = (if (extractOk.nonEmpty) extractOk else full).maxBy(_.extractEffBest)
       val allInOne = full.exists(_.passes)
       val best = schedSrc // headline/controls follow the north-rule metric
-      val (crawlRate, crawlAmortJson, membershipJson, crawlResumeJson) =
-        // scaling-only runs skip the crawl blocks: they'd burn the very
-        // credits a retry attempt needs, and their numbers on a
+      val (crawlRate, crawlAmortJson, membershipJson, crawlResumeJson,
+          annJson, dedupJson) =
+        // scaling-only runs skip the crawl/quality blocks: they'd burn the
+        // very credits a retry attempt needs, and their numbers on a
         // post-attempt drained window are meaningless anyway (run 1's
         // amort read 1.2k pages/s vs 40k+ rested)
         if (sys.env.get("SPARK_GRAFT_SKIP_AMORT").contains("1"))
-          (0L, "[]", "{}", "{}")
+          (0L, "[]", "{}", "{}", "{}", "[]")
         else {
           val s = session(32)
           val (rate, amort) = crawlAmortBench(s)
@@ -674,9 +921,11 @@ object Bench {
           val resume =
             if (sys.env.get("SPARK_GRAFT_SKIP_RESUME").contains("1")) "{}"
             else crawlResumeBench(s)
+          val ann = annRecallBench(s, sfDir)
+          val dedup = dedupScaleBench(s, dedupSizes)
           s.stop()
           SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-          (rate, amort, mem, resume)
+          (rate, amort, mem, resume, ann, dedup)
         }
       def block(v8: Seq[Double], v32: Seq[Double]): String = {
         if (v8.isEmpty || v32.isEmpty) // sched-only run: extract legs not taken
@@ -694,14 +943,26 @@ object Bench {
            |"membw_eff":${f"${a.membwEff}%.3f"},
            |"waited_secs":${a.waitedSecs},"aborted":${a.aborted},
            |"sched_eff_best":${f"${a.schedEffBest}%.3f"},
+           |"sched_eff_norm":${f"${a.schedEffNorm}%.3f"},
            |"extract_eff_best":${f"${a.extractEffBest}%.3f"},
            |"kernel_eff":${f"${a.kernelEff}%.3f"}}""".stripMargin.replace("\n", ""))
         .mkString("[", ",", "]")
+      // membw-normalized companion headline (r7 verdict #1): an attempt is
+      // norm-gated when its sched eff reaches ≥0.85 of ITS OWN membw
+      // ceiling with the kernel control passing — evidence that the gap to
+      // the raw 0.8 bar is the box's shared DRAM, not the engine
+      val normGated = full.count(schedNormGatedIn)
+      val normBest =
+        if (full.isEmpty) 0.0
+        else full.filter(a => a.kernelEff >= 0.7 && a.sched32.nonEmpty)
+          .map(_.schedEffNorm).maxOption.getOrElse(0.0)
       scalingJson =
         s""","scaling":{"sched_urls_per_sec":${block(schedSrc.sched8, schedSrc.sched32)},
            |"extract_pages_per_sec":${block(extractSrc.extr8, extractSrc.extr32)},
            |"sched_gated":${schedOk.nonEmpty},
            |"extract_gated":${extractOk.nonEmpty},
+           |"sched_norm_gated_attempts":$normGated,
+           |"sched_eff_norm_best":${f"$normBest%.3f"},
            |"sched_only":$schedOnly,
            |"sched_attempt":${attempts.indexOf(schedSrc)},
            |"extract_attempt":${attempts.indexOf(extractSrc)},
@@ -719,12 +980,19 @@ object Bench {
            |"crawl_amortization":$crawlAmortJson,
            |"seen_membership":$membershipJson,
            |"crawl_resume":$crawlResumeJson,
+           |"ann_recall":$annJson,
+           |"dedup_scale":$dedupJson,
            |"sched_rows":$schedN,"extract_rows":$extractN}""".stripMargin.replace("\n", "")
+      compactGates =
+        s""","sched_gated":${schedOk.nonEmpty},"extract_gated":${extractOk.nonEmpty},
+           |"sched_norm_gated_attempts":$normGated,
+           |"sched_eff_norm_best":${f"$normBest%.3f"}""".stripMargin.replace("\n", "")
     }
 
     // ---- per-query pack timings ------------------------------------------
     if (sys.env.get("SPARK_GRAFT_SKIP_PACK").contains("1")) {
-      emit(s"""{"metric":"total","value":0,"unit":"sec","queries":{},"sf":"$sfDir"$scalingJson}""")
+      emit(s"""{"metric":"total","value":0,"unit":"sec","queries":{},"sf":"$sfDir"$scalingJson}""",
+        s"""{"metric":"total","value":0,"unit":"sec","queries":{},"sf":"$sfDir"$compactGates,"full_artifact":"$benchOutPath"}""")
       return
     }
     val spark = session(cpus)
@@ -738,7 +1006,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"$scalingJson}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"$scalingJson}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"$compactGates,"full_artifact":"$benchOutPath"}""")
     spark.stop()
   }
 }

@@ -127,7 +127,19 @@ object SeenIndexStore {
     * place, [[writeRun]]'s exists-skip idempotency would silently keep
     * their stale content when the resumed crawl re-reaches those rounds —
     * silent seen-membership corruption. Called on every resume load,
-    * before any top-up. */
+    * before any top-up.
+    *
+    * SINGLE-WRITER ASSUMPTION: this deletion is only safe because exactly
+    * one crawl driver owns a snapshot root at a time — the store's OCC
+    * (round-dir rename as the commit token) arbitrates who COMMITS, not
+    * who may be concurrently materializing run files. A resuming driver
+    * that raced a still-live writer here could delete that writer's
+    * just-written ahead-of-round files; after the writer commits, the
+    * sidecar would under-count until the next resume's seen-count
+    * cross-check forces a full rebuild (self-healing via
+    * [[graft.engine.FrontierEngine]]'s count-integrity fallback, but an
+    * avoidable O(seen) rebuild). Concurrent drivers on one root are
+    * outside the design: a resume means the previous driver is dead. */
   def invalidateAhead(dir: String, round: Int): Unit = {
     val f = fs(dir)
     listRunFiles(dir).filter(_._2 > round)

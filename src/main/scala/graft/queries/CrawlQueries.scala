@@ -67,11 +67,17 @@ object CrawlQueries {
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
         val rows = OracleMat(s, "q31")(
           fetched.select("round", "host", "status", "url"))
-        rows.groupBy(col("round"), col("host"))
+        val agg = rows.groupBy(col("round"), col("host"))
           .agg(count(lit(1)).as("fetched"),
             sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"),
             (count(lit(1)) <= 5).as("within_budget"))
-          .orderBy(col("round"), col("host"))
+        // HARD assert, not just a parity-checked column: both Spark and the
+        // oracle would compute within_budget=false identically, so the
+        // driver's hash compare alone could never catch a budget regression
+        // — a violation must throw and fail the Verify/Bench gate outright
+        val over = agg.filter(not(col("within_budget"))).count()
+        require(over == 0, s"q31: $over (round,host) groups exceed hostBudget=5")
+        agg.orderBy(col("round"), col("host"))
       },
       Some(s"""SELECT round, host, count(*) AS fetched,
               |       CAST(sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS ok,
@@ -206,8 +212,10 @@ object CrawlQueries {
     // fresher same-priority work in later rounds. The re-rank semantics
     // themselves are CrawlSpec-pinned vs the scalar oracle; this driver
     // row runs the deferral path under the driver gate — the materialized
-    // crawl order is hash-pinned and the oracle re-asserts the budget cap
-    // and the deferral spread (a depth's pages smeared across rounds)
+    // crawl order is hash-pinned, the oracle recomputes the rollup, and
+    // the budget cap is a HARD require (a violation throws and fails the
+    // driver gate — the parity column alone could never catch one, since
+    // both sides would compute within_budget=false identically)
     QuerySpec(
       "q94_crawl_deferral",
       (s, _) => {
@@ -216,14 +224,16 @@ object CrawlQueries {
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
         val rows = OracleMat(s, "q94")(
           fetched.select("round", "host", "depth", "url", "order_idx"))
-        rows.groupBy(col("round"), col("host"))
+        val agg = rows.groupBy(col("round"), col("host"))
           .agg(count(lit(1)).as("fetched"),
             min(col("order_idx")).as("min_idx"),
             max(col("order_idx")).as("max_idx"),
             min(col("depth")).as("min_depth"),
             max(col("depth")).as("max_depth"),
             (count(lit(1)) <= 5).as("within_budget"))
-          .orderBy(col("round"), col("host"))
+        val over = agg.filter(not(col("within_budget"))).count()
+        require(over == 0, s"q94: $over (round,host) groups exceed hostBudget=5")
+        agg.orderBy(col("round"), col("host"))
       },
       Some(s"""SELECT round, host, count(*) AS fetched,
               |       min(order_idx) AS min_idx, max(order_idx) AS max_idx,

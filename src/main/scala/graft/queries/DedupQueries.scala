@@ -72,10 +72,11 @@ object DedupQueries {
   // join on low-entropy corpora: measured 37s → 2s at sf0.1.)
   val Bands = 8
 
-  /** Confirmed near-dup pairs (jaccard ≥ 0.8) from (doc_id, toks) via
-    * MinHash-LSH banding + exact-Jaccard confirm — the q20 kernel, shared
-    * by the cluster/corpus-filter queries. */
-  def minhashPairs(d: DataFrame): DataFrame = {
+  /** LSH candidate pairs (band-bucket collisions, pre-confirm): the stage
+    * whose cardinality decides whether the dedup scales — it must grow
+    * ~linearly in docs, never all-pairs. Factored out of [[minhashPairs]]
+    * so the bench can count it directly (`dedup_scale` block). */
+  def minhashCandidates(d: DataFrame): DataFrame = {
     val sig = d.withColumn("band_hashes",
       minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
     val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
@@ -83,10 +84,22 @@ object DedupQueries {
       .withColumnRenamed("col", "band_hash")
     val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band_id", "band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Confirmed near-dup pairs (jaccard ≥ 0.8) from (doc_id, toks) via
+    * MinHash-LSH banding + exact-Jaccard confirm — the q20 kernel, shared
+    * by the cluster/corpus-filter queries. */
+  def minhashPairs(d: DataFrame): DataFrame =
+    confirmJaccard(d, minhashCandidates(d))
+
+  /** Exact-Jaccard confirm over an LSH candidate pair set (the second
+    * stage of [[minhashPairs]], separable so the bench can time and count
+    * the stages independently without recomputing signatures). */
+  def confirmJaccard(d: DataFrame, cand: DataFrame): DataFrame = {
     val sets = d.select(col("doc_id"), array_distinct(col("toks")).as("set"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), Seq("doc_a"))
