@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   * gate for starting an attempt), SPARK_GRAFT_BENCH_MAXWAIT (total
   * seconds the harness may wait for fresh credit windows),
   * SPARK_GRAFT_BENCH_BACKOFF (inter-attempt rest seconds, default 300),
+  * SPARK_GRAFT_BENCH_REP_REST (seconds of idle before each 32-leg sched
+  * rep in sched-only mode, default 0 — burst-credit hygiene, see below),
   * SPARK_GRAFT_SKIP_AMORT/_SKIP_RESUME=1 (skip the crawl blocks — for
   * scaling-only runs), SPARK_GRAFT_BENCH_OUT (full-JSON artifact path,
   * default bench/BENCH_full_last.json), SPARK_GRAFT_AMORT_ONLY /
@@ -807,11 +809,25 @@ object Bench {
             Vector(), Vector(), Vector(), Vector(), k8, k32)
         val sched = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
         val extr = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector())
+        // Inter-rep rest for the credit-hungry 32-leg (seconds, default 0 —
+        // the driver's run is unchanged): the sandbox throttles sustained
+        // >8-core load on a burst budget that refills while idle, so
+        // back-to-back 32-thread reps measure progressively drained
+        // windows while 8-thread reps never throttle (r7 run-3 / r8 run-1
+        // asymmetry). Resting before EACH 32-rep (incl. after the warmup)
+        // lets best-of-reps pick a whole-burst window. This is bench
+        // hygiene against a sandbox artifact, not an engine change: every
+        // rep still pushes all schedN rows and is timed wall-clock
+        // end-to-end; the rest is outside the timed region, exactly like
+        // the inter-attempt backoff. Rests at the 8 level are skipped —
+        // they would only add wall time to the leg the throttle ignores.
+        val repRest = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_REST", "0").toLong
         for (c <- Seq(32, 8)) { // credit-hungry level first
           val s = session(c)
           if (schedOnly) {
             schedBench(s, schedN / 16) // JIT warmup
             for (_ <- 1 to nReps) {
+              if (repRest > 0 && c == 32) Thread.sleep(repRest * 1000)
               val (schedRows, schedSecs) = schedBench(s, schedN)
               sched(c) = sched(c) :+ schedRows / schedSecs
             }
