@@ -540,8 +540,112 @@ object Bench {
          |"candidates":$nCand,"secs":${f"$secs%.2f"}}""".stripMargin.replace("\n", "")
     }.mkString("[", ",", "]")
     brute.unpersist(); e.unpersist()
+    val clusteredJson = annClusteredBench(spark)
     s"""{"n_queries":$nQ,"k":$kTop,"ivf_cells":$nCells,
-       |"ivf":$ivfJson,"lsh":$lshJson}""".stripMargin.replace("\n", "")
+       |"ivf":$ivfJson,"lsh":$lshJson,
+       |"ivf_clustered":$clusteredJson}""".stripMargin.replace("\n", "")
+  }
+
+  /** IVF recall on a CLUSTERED corpus — the 100 TB-shaped complement to the
+    * sf0.1 sweep above. The driver's embeddings table is near-uniform on
+    * the sphere (the worst case for coarse quantization: neighbors scatter
+    * across cells, so nprobe=12/16 scans 88% of the table for 0.97). Real
+    * web/LLM embedding corpora are clustered, which is the regime IVF
+    * exists for; this block generates one deterministically (no data
+    * files, per-id xxh64 Box-Muller draws — the dedupScaleBench pattern):
+    * 100 natural clusters in 64 dims, centers ~N(0,1) per component, noise
+    * sigma=0.35 (same-cluster cosine ~0.89, cross-cluster ~0), so a
+    * query's true top-10 live in its own cluster. A 32-cell k-means||
+    * quantizer then has ~3 natural clusters per cell and low nprobe must
+    * recover high recall at a small candidate fraction — the claim a 100 TB
+    * ANN deployment rests on. Knob: SPARK_GRAFT_ANN_CLUSTERED_VECS
+    * (default 100000; 0 disables the block). */
+  private[graft] def annClusteredBench(spark: SparkSession,
+      nVecs: Long = sys.env.getOrElse("SPARK_GRAFT_ANN_CLUSTERED_VECS", "100000").toLong)
+      : String = {
+    import org.apache.spark.sql.expressions.Window
+    if (nVecs <= 0) return "null"
+    val dim = 64
+    val nTrue = 100
+    val nCells = 32
+    val nQ = 50
+    val kTop = 10
+    val mkVec = udf { (id: Long) =>
+      // deterministic standard normals: two xxh64 draws -> Box-Muller.
+      // Seeds 0xC1/0x11 split the center and noise streams so a cluster
+      // id colliding with a vector id can never correlate the two.
+      val bb = java.nio.ByteBuffer.allocate(16)
+      def gauss(key: Long, j: Long, seed: Long): Double = {
+        bb.clear(); bb.putLong(key); bb.putLong(j)
+        val u1 = ((core.UrlNorm.xxh64(bb.array(), seed) >>> 11) + 0.5) / (1L << 53).toDouble
+        val u2 = ((core.UrlNorm.xxh64(bb.array(), seed + 7) >>> 11) + 0.5) / (1L << 53).toDouble
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+      val g = id % nTrue
+      val v = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        v(j) = (gauss(g, j, 0xC1L) + 0.35 * gauss(id, j, 0x11L)).toFloat
+        j += 1
+      }
+      v
+    }
+    val e = spark.range(nVecs)
+      .select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+      .cache()
+    e.count()
+    val cos = queries.SimilarityQueries.cosineUdf
+    // ids 0..49 are clusters 0..49 (id % 100): one query per distinct cluster
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def topk(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kTop)
+        .select("query_id", "neighbor_id")
+    }
+    val data = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val brute = topk(broadcast(q).crossJoin(data)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cos(col("qv"), col("cv")))).cache()
+    val nTruth = brute.count().toDouble
+    val centroids = ops.KMeansPar.init(spark, e, "vec_id", "embedding",
+      k = nCells, rounds = 3, oversample = 2, seed = 42L)
+    val bc = spark.sparkContext.broadcast(centroids)
+    def cellsOf(k: Int) = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < cs(c).length) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(k).map(_._1)
+    }
+    val cells = e.withColumn("cell", explode(cellsOf(1)(col("embedding"))))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .cache()
+    cells.count()
+    val ivfJson = Seq(1, 2, 4).map { nprobe =>
+      val qc = q.withColumn("cell", explode(cellsOf(nprobe)(col("qv"))))
+      val cand = qc.join(cells, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id").cache()
+      val ((recall, nCand), secs) = time {
+        val n = cand.count()
+        val hits = topk(cand.withColumn("sim", cos(col("qv"), col("cv"))))
+          .join(brute, Seq("query_id", "neighbor_id")).count()
+        (hits / nTruth, n)
+      }
+      cand.unpersist()
+      val frac = nCand.toDouble / (nQ.toDouble * (nVecs - 1))
+      s"""{"nprobe":$nprobe,"recall_at_10":${f"$recall%.3f"},
+         |"candidates":$nCand,"candidate_frac":${f"$frac%.4f"},
+         |"secs":${f"$secs%.2f"}}""".stripMargin.replace("\n", "")
+    }.mkString("[", ",", "]")
+    cells.unpersist(); brute.unpersist(); e.unpersist()
+    s"""{"n_vecs":$nVecs,"dim":$dim,"true_clusters":$nTrue,
+       |"ivf_cells":$nCells,"n_queries":$nQ,"k":$kTop,
+       |"ivf":$ivfJson}""".stripMargin.replace("\n", "")
   }
 
   /** Similarity-at-scale: MinHash-LSH near-dup pairs + connected-component

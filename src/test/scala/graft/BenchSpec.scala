@@ -35,4 +35,32 @@ class BenchSpec extends AnyFunSuite {
     val res = Bench.timeQueries(spark, "/nonexistent", qs)
     assert(res.head._2 == -1.0 && res.head._3.nonEmpty)
   }
+
+  test("annClusteredBench: IVF on a clustered corpus prunes AND recalls at low nprobe") {
+    // 2000 vecs / 100 true clusters (20 members each): a query's true
+    // top-10 are its 19 cluster-mates' nearest, and a 32-cell quantizer
+    // must keep whole clusters inside cells. The assertions pin the block's
+    // CLAIM, not a lucky number: at nprobe=4 (1/8 of cells) recall must be
+    // high while candidates stay a small fraction of brute force.
+    val json = Bench.annClusteredBench(spark, nVecs = 2000L)
+    def field(obj: String, k: String): Double = {
+      val m = (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(obj)
+      assert(m.nonEmpty, s"missing $k in $obj"); m.get.group(1).toDouble
+    }
+    val points = ("""\{"nprobe":[^}]*\}""").r.findAllIn(json).toVector
+    assert(points.size == 3, s"expected 3 nprobe points in $json")
+    val byProbe = points.map(p => field(p, "nprobe").toInt -> p).toMap
+    assert(field(byProbe(4), "recall_at_10") >= 0.8,
+      "clustered corpus: nprobe=4/32 must recover >=0.8 recall")
+    assert(field(byProbe(4), "candidate_frac") <= 0.35,
+      "clustered corpus: nprobe=4/32 must prune, not scan the table")
+    // monotone in nprobe: more probes never lose recall or candidates
+    assert(field(byProbe(1), "recall_at_10") <= field(byProbe(2), "recall_at_10") + 1e-9)
+    assert(field(byProbe(2), "recall_at_10") <= field(byProbe(4), "recall_at_10") + 1e-9)
+    assert(field(byProbe(1), "candidates") < field(byProbe(4), "candidates"))
+  }
+
+  test("annClusteredBench: disabled by nVecs=0") {
+    assert(Bench.annClusteredBench(spark, nVecs = 0L) == "null")
+  }
 }
