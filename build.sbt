@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the driver parses the LAST stdout line of `sbt -batch "runMain graft.Bench"`
+// as the bench artifact; sbt's trailing "[success] Total time ..." line was
+// what kept BENCH_r0{7,8}.json at parsed:null (r8 verdict #2). Suppressing
+// the success banner (exit code still carries the status) lets the bench's
+// compact tail line be the final line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

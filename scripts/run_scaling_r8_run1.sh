@@ -4,9 +4,11 @@
 # Done-criteria (r7 verdict #1): EITHER one attempt with sched_eff_best
 # >= 0.8 and kernel >= 0.7 (sched_gated: true), OR >= 3 attempts with
 # sched_eff_norm >= 0.85 and kernel >= 0.7 (sched_norm_gated_attempts
-# >= 3). The harness keeps attempting until maxAttempts even after the
-# raw gate passes only if the gate does NOT pass — so for the norm-count
-# criterion we run a fixed number of attempts and read the count.
+# >= 3). The harness stops as soon as EITHER criterion is met (the done
+# loop counts schedNormGatedIn attempts and exits at >= 3), so the
+# ATTEMPTS argument is an upper bound, not a fixed campaign length.
+# (Comment corrected per r8 ADVICE — the artifact's provenance is
+# "up to N attempts, early-stop on pass".)
 # Kernel-probe polling (SPIN_MIN=0: the ~10 s kernel control is the
 # window gate), 10-min backoffs between attempts.
 set -u

@@ -437,24 +437,41 @@ object FrontierEngine {
       val r = round(spark, fr, state.seen, state.round, state.fetchedCount, cfg, seenIdx)
       try if (r.taken == 0) continue = false
       else {
-        // localCheckpoint truncates the iterative plan lineage — without
-        // it each round's DAG embeds all previous rounds and the driver
-        // OOMs on plan strings alone (on a cluster: use reliable
-        // checkpoint dirs / the SnapshotStore parquet as the cut point).
-        // the seen set is NEVER rewritten per round: only the O(delta)
-        // round delta is checkpointed (truncating its lineage so the union
-        // can't recursively re-derive prior rounds on cache eviction) and
-        // unioned in — at 10^10 URLs a per-round full rewrite/checkpoint of
-        // the seen table would dominate every round's cost. `fetched`
-        // deltas are already cached with flat lineage.
-        val seenDeltaCk = r.seenDelta.localCheckpoint(true)
+        // The round's outputs are materialized exactly ONCE, and the
+        // lineage cut rides on that materialization — without a cut each
+        // round's DAG embeds all previous rounds and the driver OOMs on
+        // plan strings alone. With a store, the snapshot COMMIT is the
+        // materialization: frontier + seen delta are written to committed
+        // parquet and read back as the next state's leaves (r1-r8
+        // additionally localCheckpoint-ed the same rows first, writing
+        // every frontier byte twice per round — half the commit overhead
+        // the r8 interleaved A/B measured). Without a store,
+        // localCheckpoint is the cut. Either way the seen set is NEVER
+        // rewritten per round: only the O(delta) round delta is
+        // materialized and unioned in — at 10^10 URLs a per-round full
+        // rewrite of the seen table would dominate every round's cost.
+        // `fetched` deltas are already cached with flat lineage.
+        val (frontierNext, seenDeltaCk) = store match {
+          case Some(st) =>
+            val pending = CrawlState(
+              frontier = r.newFrontier.toDF(),
+              seen = state.seen, // commit reads only frontier/round/count
+              fetched = state.fetched,
+              round = state.round + 1,
+              fetchedCount = state.fetchedCount + r.taken)
+            st.commit(spark, pending, r)
+            (spark.read.parquet(st.frontierPath(pending.round)),
+              spark.read.parquet(st.seenDeltaPath(pending.round).get))
+          case None =>
+            (r.newFrontier.toDF().localCheckpoint(true),
+              r.seenDelta.localCheckpoint(true))
+        }
         var newState = CrawlState(
-          frontier = r.newFrontier.toDF().localCheckpoint(true),
+          frontier = frontierNext,
           seen = state.seen.union(seenDeltaCk),
           fetched = state.fetched.union(r.fetched),
           round = state.round + 1,
           fetchedCount = state.fetchedCount + r.taken)
-        store.foreach(_.commit(spark, newState, r))
         // O(delta) index maintenance (invalidates the previous index).
         // With a store, the round's run events persist into the sidecar
         // DURING the add's materialization, and the index manifest

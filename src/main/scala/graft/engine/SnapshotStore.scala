@@ -10,10 +10,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *   <root>/r<N>/frontier/            parquet (full: the frontier mutates)
   *   <root>/r<N>/seen/                parquet (delta — seen is append-only)
   *   <root>/r<N>/fetch_log/           parquet (delta, this round only)
-  *   <root>/r<N>/pages/               parquet (delta, OK rows only)
   *   <root>/r<N>/manifest.json        {round, fetchedCount, parent,
   *                                     per-partition lineage, metrics}
   *   <root>/_current                  atomic pointer (rename commit)
+  *
+  * The PAGES table is a logical view — fetch_log filtered to status=OK
+  * ([[pagesAsOf]]/[[pagesDelta]]), Iceberg-metadata-view style. r1-r8
+  * stored it as a second physical delta, which wrote every extracted
+  * text/title byte twice per round; at 10^10 URLs the page payload
+  * dominates commit I/O, so the duplicate copy was the single biggest
+  * avoidable commit cost (r8 interleaved A/B: 48% overhead vs commit-free).
   *
   * Resume loads `_current`, giving "the crawl resumes from any checkpoint"
   * with per-partition lineage and fetch/dedupe metrics (north rule).
@@ -50,11 +56,16 @@ final class SnapshotStore(rootDir: String) {
     // seen is append-only: commit the O(delta) round delta, never the full
     // set — at 10^10 URLs a full per-round rewrite of the seen table would
     // dominate every round's I/O. Readers union the deltas (one multi-path
-    // scan), exactly like pages/fetch_log.
-    r.seenDelta.write.mode("overwrite").parquet(staging.resolve("seen").toString)
-    r.fetched.write.mode("overwrite").parquet(staging.resolve("fetch_log").toString)
-    r.fetched.filter(org.apache.spark.sql.functions.col("status") === "OK")
-      .write.mode("overwrite").parquet(staging.resolve("pages").toString)
+    // scan), exactly like fetch_log.
+    // Delta writes coalesce to ~256k rows/file: r.taken is the exact row
+    // count, and letting a small delta fan out across the session's full
+    // parallelism pays a per-file fixed cost (open + footer + commit)
+    // dozens of times per table per round for KB-sized files.
+    val files = math.max(1, math.min(32, (r.taken / 262144L).toInt + 1))
+    r.seenDelta.coalesce(files).write.mode("overwrite")
+      .parquet(staging.resolve("seen").toString)
+    r.fetched.coalesce(files).write.mode("overwrite")
+      .parquet(staging.resolve("fetch_log").toString)
 
     // per-partition lineage + fetch/dedupe metrics
     import org.apache.spark.sql.functions._
@@ -100,6 +111,12 @@ final class SnapshotStore(rootDir: String) {
   /** Directory of the durable [[SeenIndex]] sidecar ([[SeenIndexStore]]). */
   def indexDir: String = root.resolve("seen_index").toString
 
+  /** The committed frontier of one round — the crawl loop reads it back as
+    * the next state's leaf (the commit doubles as the round's lineage cut,
+    * replacing a second localCheckpoint materialization of the same rows). */
+  def frontierPath(round: Int): String =
+    dir(round).resolve("frontier").toString
+
   /** The committed seen delta of one round, if present (absent after
     * expiry compaction — the compacted keepRound dir then holds the union). */
   def seenDeltaPath(round: Int): Option[String] = {
@@ -127,34 +144,41 @@ final class SnapshotStore(rootDir: String) {
     currentRound.map { rN =>
       import org.apache.spark.sql.functions.not
       import org.apache.spark.sql.functions.expr
-      val paths = (1 to rN).map(i => dir(i).resolve("pages").toString)
-        .filter(p => Files.exists(Paths.get(p)))
-      val pages = spark.read.parquet(paths: _*)
-      val remaining = pages.filter(not(expr(predicate)))
+      val remaining = pagesAsOf(spark, rN).filter(not(expr(predicate)))
       val d = dir(rN).resolve(s"pages_compacted")
       remaining.write.mode("overwrite").parquet(d.toString)
       rN
     }
 
-  /** Time travel: read the pages table AS OF a committed round — all page
-    * deltas up to `round` as ONE multi-path scan (Iceberg snapshot-read
-    * semantics). A per-round union would grow the plan O(rounds); a single
-    * relation keeps the plan O(1) and lets the scheduler pack splits. */
+  /** Time travel: read the pages table AS OF a committed round — all
+    * fetch_log deltas up to `round` as ONE multi-path scan filtered to
+    * status=OK (Iceberg snapshot-read over a metadata view). A per-round
+    * union would grow the plan O(rounds); a single relation keeps the plan
+    * O(1), lets the scheduler pack splits, and the status predicate
+    * reaches the parquet scan as a pushed filter. */
   def pagesAsOf(spark: SparkSession, round: Int): DataFrame = {
     val paths = (1 to round)
-      .map(i => dir(i).resolve("pages"))
+      .map(i => dir(i).resolve("fetch_log"))
       .filter(p => Files.exists(p))
       .map(_.toString)
     spark.read.parquet(paths: _*)
+      .filter(org.apache.spark.sql.functions.col("status") === "OK")
   }
+
+  /** One round's pages delta (the status=OK slice of that round's
+    * fetch_log delta). */
+  def pagesDelta(spark: SparkSession, round: Int): DataFrame =
+    spark.read.parquet(dir(round).resolve("fetch_log").toString)
+      .filter(org.apache.spark.sql.functions.col("status") === "OK")
 
   /** Snapshot expiry — the reference's periodic TTL sweep
     * (src/cache.ts:205-210) at table scale, Iceberg expire_snapshots
-    * style: compacts all pages/fetch_log deltas of rounds ≤ `keepRound`
-    * into r<keepRound> and deletes the older round directories. Reads
-    * after expiry (pagesAsOf ≥ keepRound, loadLatest) see identical data;
-    * time travel to expired rounds is intentionally gone, exactly like
-    * Iceberg after snapshot expiration. */
+    * style: compacts all fetch_log/seen deltas of rounds ≤ `keepRound`
+    * into r<keepRound> and deletes the older round directories (the pages
+    * view rides on fetch_log, so one compaction covers both). Reads after
+    * expiry (pagesAsOf ≥ keepRound, loadLatest) see identical data; time
+    * travel to expired rounds is intentionally gone, exactly like Iceberg
+    * after snapshot expiration. */
   def expireSnapshotsBefore(spark: SparkSession, keepRound: Int): Unit = {
     require(currentRound.exists(_ >= keepRound), s"round $keepRound not committed")
     val d = dir(keepRound)
@@ -167,7 +191,7 @@ final class SnapshotStore(rootDir: String) {
       spark.read.parquet(paths: _*).write.mode("overwrite").parquet(tmp.toString)
       rmTree(d.resolve(sub)); Files.move(tmp, d.resolve(sub))
     }
-    compact("pages"); compact("fetch_log"); compact("seen")
+    compact("fetch_log"); compact("seen")
     (1 until keepRound).foreach(i => rmTree(dir(i)))
   }
 

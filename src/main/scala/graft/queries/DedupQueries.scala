@@ -76,14 +76,15 @@ object DedupQueries {
     * whose cardinality decides whether the dedup scales — it must grow
     * ~linearly in docs, never all-pairs. Factored out of [[minhashPairs]]
     * so the bench can count it directly (`dedup_scale` block). */
-  def minhashCandidates(d: DataFrame): DataFrame = {
+  def minhashCandidates(d: DataFrame, k: Int = MinhashK, bands: Int = Bands)
+      : DataFrame = {
     val sig = d.withColumn("band_hashes",
-      minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
-    val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
+      minhashBandsUdf(k, bands)(col("toks"), lit(3)))
+    val banded = sig.select(col("doc_id"), posexplode(col("band_hashes")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
-    val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -95,6 +96,34 @@ object DedupQueries {
     * by the cluster/corpus-filter queries. */
   def minhashPairs(d: DataFrame): DataFrame =
     confirmJaccard(d, minhashCandidates(d))
+
+  /** Skew-immune LSH candidate edges for CLUSTER dedup: per band-bucket,
+    * link every member to the bucket's MIN doc_id (star edges) instead of
+    * enumerating member pairs. Connected components over the star edges
+    * equal components over the full per-bucket cliques, while candidate
+    * cardinality is O(bucket size) instead of O(bucket²) — the regime
+    * boilerplate/templated web corpora hit, where one band-bucket can hold
+    * thousands of near-identical docs and the pairwise join goes quadratic
+    * in the biggest bucket. The downstream Jaccard confirm then applies to
+    * star edges only: strictly conservative vs pairwise confirm (a member
+    * similar to another member but not to the bucket min can drop its
+    * edge) — the documented trade for linear worst-case cost. The bucket
+    * min is computed by partial-aggregating groupBy (map-side combine), so
+    * even a mega-bucket contributes one row per partition to the shuffle. */
+  def minhashCandidatesStar(d: DataFrame, k: Int = MinhashK,
+      bands: Int = Bands): DataFrame = {
+    val sig = d.withColumn("band_hashes",
+      minhashBandsUdf(k, bands)(col("toks"), lit(3)))
+    val exploded = sig.select(col("doc_id"), posexplode(col("band_hashes")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val mins = exploded.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    exploded.join(mins, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** Exact-Jaccard confirm over an LSH candidate pair set (the second
     * stage of [[minhashPairs]], separable so the bench can time and count

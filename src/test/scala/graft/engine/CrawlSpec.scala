@@ -722,7 +722,7 @@ class CrawlSpec extends AnyFunSuite {
     val cfg = FrontierEngine.Config(2, 60, Int.MaxValue, true, true, 4, web)
     FrontierEngine.crawl(spark, seeds(1), cfg, Some(store))
     val before = (1 to store.currentRound.get)
-      .map(i => spark.read.parquet(s"$dir/r$i/pages"))
+      .map(i => store.pagesDelta(spark, i))
       .reduce(_ union _).count()
     assert(before > 0)
     store.deleteWhere(spark, "depth >= 2")
@@ -742,7 +742,7 @@ class CrawlSpec extends AnyFunSuite {
     val full = store.pagesAsOf(spark, last).count()
     assert(early < full)
     // AS OF 1 equals exactly round 1's delta
-    assert(early == spark.read.parquet(s"$dir/r1/pages").count())
+    assert(early == store.pagesDelta(spark, 1).count())
   }
 
   test("mega-host skew: one round's fetches spread across salt partitions") {
