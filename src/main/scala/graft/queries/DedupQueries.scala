@@ -37,7 +37,17 @@ object DedupQueries {
     * Mitzenmacher). A nested higher-order-function formulation
     * (transform∘array_min∘transform) is interpreted per element by
     * Catalyst — measured 20x slower. Returns the per-band hashes directly
-    * (bands of k/bands rows each). */
+    * (bands of k/bands rows each).
+    *
+    * h2 MUST span the full 64-bit range. r1–r8 derived it as
+    * `(h1 >>> 32) | 1` — only 32 bits wide, so the i·h2 perturbation
+    * (≤ 2^38 at k=64) was negligible against the ~2^57 spacing of the
+    * shingle h1 order statistics: the SAME argmin-h1 shingle won every
+    * row's min, collapsing k=64 to effectively k=1. The r9 band sweep
+    * caught it — recall froze at exactly the shingle-Jaccard (45/51 =
+    * 0.883 on the construction corpus) for EVERY band shape, where
+    * independent rows predict 0.44→1.0 across 4×16→32×2. A splitmix64
+    * finalizer of h1 gives an independent full-width second stream. */
   def minhashBandsUdf(k: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (toks: Seq[String], w: Int) =>
       val n = toks.length
@@ -48,7 +58,10 @@ object DedupQueries {
         val shingle = toks.slice(s, math.min(n, s + w)).mkString(" ")
         val h1 = graft.core.UrlNorm.xxh64(
           shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L)
-        val h2 = (h1 >>> 32) | 1L
+        var z = h1 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val h2 = (z ^ (z >>> 31)) | 1L
         var i = 0
         while (i < k) {
           val hi = h1 + i * h2
