@@ -852,30 +852,44 @@ object Bench {
       e
     }
     val nExact = exact.count()
-    // stage 3: near dedup — star-edge LSH + confirm + connected components
+    // stage 3: near dedup — star-edge LSH + confirm + connected components,
+    // sub-timed so the artifact attributes the stage's cost
     val toksDf = exact.select(col("doc_id"),
       split(lower(col("text")), "\\s+").as("toks"))
-    val ((near, maxBucket), nearSecs) = time {
-      val cand = queries.DedupQueries.minhashCandidatesStar(toksDf)
-      val confirmed = queries.DedupQueries.confirmJaccard(toksDf, cand)
-      val labels = queries.DedupQueries.ccLabels(spark, confirmed)
+    val (cand, candSecs) = time {
+      val c = queries.DedupQueries.minhashCandidatesStar(toksDf).cache()
+      c.count(); c
+    }
+    val nStarEdges = cand.count()
+    val (confirmed, confirmSecs) = time {
+      val cf = queries.DedupQueries.confirmJaccard(toksDf, cand)
+        .localCheckpoint(true)
+      cf.count(); cf
+    }
+    val (labels, ccSecs) = time {
+      val l = queries.DedupQueries.ccLabels(spark, confirmed).cache()
+      l.count(); l
+    }
+    val (near, survSecs) = time {
       val n = exact
         .join(labels.select(col("node").as("doc_id"), col("label")),
           Seq("doc_id"), "left")
         .filter(col("label").isNull || col("label") === col("doc_id"))
         .drop("label").cache()
-      n.count()
-      // biggest band-bucket: the skew evidence (why star edges, not pairs —
-      // the pairwise join would emit maxBucket² rows for this one bucket)
-      val mb = toksDf
-        .withColumn("band_hashes",
-          queries.DedupQueries.minhashBandsUdf(64, 8)(col("toks"), lit(3)))
-        .select(posexplode(col("band_hashes")))
-        .groupBy(col("pos"), col("col")).count()
-        .agg(max(col("count"))).collect()(0).getLong(0)
-      (n, mb)
+      n.count(); n
     }
+    cand.unpersist(); labels.unpersist()
+    val nearSecs = candSecs + confirmSecs + ccSecs + survSecs
     val nNear = near.count()
+    // biggest band-bucket: the skew evidence (why star edges, not pairs —
+    // the pairwise join would emit maxBucket² rows for this one bucket).
+    // Diagnostic, outside the timed pipeline.
+    val maxBucket = toksDf
+      .withColumn("band_hashes",
+        queries.DedupQueries.minhashBandsUdf(64, 8)(col("toks"), lit(3)))
+      .select(posexplode(col("band_hashes")))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
     // stage 4: quality gates (the q84 shape: 10..100k tokens, >=1% stopwords)
     val (nKept, filterSecs) = time {
       val sw = queries.TextQueries.StopWords
@@ -893,7 +907,11 @@ object Bench {
     s"""{"pages_crawled":$nCrawled,"after_exact_dedup":$nExact,
        |"after_near_dedup":$nNear,"kept_after_quality":$nKept,
        |"crawl_secs":${f"$crawlSecs%.1f"},"exact_dedup_secs":${f"$exactSecs%.1f"},
-       |"near_dedup_secs":${f"$nearSecs%.1f"},"quality_filter_secs":${f"$filterSecs%.1f"},
+       |"near_dedup_secs":${f"$nearSecs%.1f"},
+       |"near_dedup_stages":{"star_edges":$nStarEdges,
+       |"lsh_secs":${f"$candSecs%.1f"},"confirm_secs":${f"$confirmSecs%.1f"},
+       |"cc_secs":${f"$ccSecs%.1f"},"survivors_secs":${f"$survSecs%.1f"}},
+       |"quality_filter_secs":${f"$filterSecs%.1f"},
        |"max_lsh_bucket":$maxBucket,
        |"total_secs":${f"$total%.1f"},
        |"end_to_end_docs_per_sec":${(nCrawled / total).round}}"""

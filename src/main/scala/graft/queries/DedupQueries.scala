@@ -121,8 +121,12 @@ object DedupQueries {
     * star edges only: strictly conservative vs pairwise confirm (a member
     * similar to another member but not to the bucket min can drop its
     * edge) — the documented trade for linear worst-case cost. The bucket
-    * min is computed by partial-aggregating groupBy (map-side combine), so
-    * even a mega-bucket contributes one row per partition to the shuffle. */
+    * min rides a whole-partition window over (band_id, band_hash): ONE
+    * shuffle of light (band, hash, doc) rows and one signature-UDF pass —
+    * the groupBy-then-self-join form evaluated the signature UDF twice
+    * (once per join branch; measured 26.6 s of a 36.3 s near-dedup stage
+    * on the 176k-page corpus-pipeline graph). A mega-bucket lands in one
+    * window partition, but its cost there is linear in the bucket. */
   def minhashCandidatesStar(d: DataFrame, k: Int = MinhashK,
       bands: Int = Bands): DataFrame = {
     val sig = d.withColumn("band_hashes",
@@ -130,9 +134,9 @@ object DedupQueries {
     val exploded = sig.select(col("doc_id"), posexplode(col("band_hashes")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
-    val mins = exploded.groupBy(col("band_id"), col("band_hash"))
-      .agg(min(col("doc_id")).as("doc_a"))
-    exploded.join(mins, Seq("band_id", "band_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash"))
+    exploded.withColumn("doc_a", min(col("doc_id")).over(w))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -153,12 +157,21 @@ object DedupQueries {
   }
 
   /** Connected components over an undirected pair graph via iterative
-    * min-label propagation: joins touch only the (small) pair graph,
-    * O(log diameter) rounds, lineage cut per round. Returns (node, label =
-    * min doc_id of the component). */
+    * min-label propagation WITH pointer halving: each round combines a
+    * one-hop propagation (label flows along edges) with label ←
+    * label(label) shortcutting, so convergence is O(log diameter) rounds —
+    * one-hop-only propagation is Θ(diameter), which the r9 corpus-pipeline
+    * graph (hub-chained star edges over a boilerplate corpus) turned into
+    * 50+ rounds / ~5 minutes at 176k nodes. Joins touch only the pair
+    * graph, whose edge list is materialized ONCE up front (the input plan
+    * may be an arbitrarily expensive LSH/confirm chain; without the cut,
+    * every round recomputed it — the other half of those 5 minutes).
+    * Lineage is cut per round. Returns (node, label = min doc_id of the
+    * component). */
   def ccLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -167,8 +180,16 @@ object DedupQueries {
       val prop = labels.join(und, col("node") === col("u"))
         .select(col("v").as("node"), col("label"))
         .unionByName(labels.select(col("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("new_label"))
-      val joined = labels.join(prop, Seq("node")).localCheckpoint(true)
+        .groupBy(col("node")).agg(min(col("label")).as("l1"))
+      // pointer halving: a label is itself a node (labels start as node
+      // ids and only ever decrease along edges), so chase one extra level
+      // per round — monotone, never crosses a component boundary
+      val half = prop.join(
+          prop.select(col("node").as("l1"), col("l1").as("l2")),
+          Seq("l1"), "left")
+        .select(col("node"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("new_label"))
+      val joined = labels.join(half, Seq("node")).localCheckpoint(true)
       changed = joined.filter(col("new_label") < col("label")).count()
       labels = joined.select(col("node"), col("new_label").as("label"))
     }
@@ -307,6 +328,43 @@ object DedupQueries {
       },
       Some(s"""WITH RECURSIVE
               |edges AS (SELECT doc_a, doc_b FROM ${OracleMat.src("q82_pairs")}),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+              |        UNION ALL SELECT doc_b, doc_a FROM edges),
+              |nodes AS (SELECT DISTINCT u FROM und),
+              |reach(u, r) AS (
+              |  SELECT u, u FROM nodes
+              |  UNION
+              |  SELECT reach.u, und.v FROM reach JOIN und ON reach.r = und.u),
+              |cc AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+              |SELECT doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              |       doc_id = cluster_id AS keep
+              |FROM cc ORDER BY doc_id""".stripMargin)),
+
+    // --- star-edge dedup clusters: the skew-immune form of q82 for
+    //     boilerplate-heavy corpora — candidates are per-bucket star edges
+    //     ([[minhashCandidatesStar]]: O(bucket) rows where the pairwise
+    //     join is O(bucket²) in the biggest bucket), confirm + CC kernels
+    //     shared with q82. Oracle: DuckDB recursive-CTE transitive closure
+    //     over the materialized star pairs — independent verification that
+    //     CC over the star graph yields the committed clusters. ------------
+    QuerySpec(
+      "q95_star_clusters",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val pairs = OracleMat(s, "q95_pairs")(
+          confirmJaccard(d, minhashCandidatesStar(d)))
+        val labels = ccLabels(s, pairs)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+        labels
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"), (col("node") === col("label")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |edges AS (SELECT doc_a, doc_b FROM ${OracleMat.src("q95_pairs")}),
               |und AS (SELECT doc_a AS u, doc_b AS v FROM edges
               |        UNION ALL SELECT doc_b, doc_a FROM edges),
               |nodes AS (SELECT DISTINCT u FROM und),
