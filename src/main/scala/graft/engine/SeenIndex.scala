@@ -66,12 +66,19 @@ object SeenIndex {
     * CrawlSpec can assert the seen side is resident (no seen shuffle). */
   @volatile private[engine] var lastProbeLineage: String = ""
 
-  /** ≤ ~4M resident hashes (32 MiB) per bucket, ≥ defaultParallelism
-    * buckets so probes use the full cluster. */
+  /** ≤ ~4M resident hashes (32 MiB) per bucket; up to defaultParallelism
+    * buckets so big-crawl probes use the full cluster — but no more than
+    * one bucket per 64k expected hashes, so a tiny crawl's per-round
+    * add/probe jobs don't fan out over a cluster-wide bucket count that
+    * holds a handful of hashes each (guide §2.2: partition counts follow
+    * data size, not a constant). Unchanged for ≥ ~2M expected hashes. */
   def bucketsFor(spark: SparkSession, expectedCount: Long): Int = {
     val perBucket = 4L << 20
-    val minB = spark.sparkContext.defaultParallelism.toLong
-    math.max(minB, (math.max(1L, expectedCount) + perBucket - 1) / perBucket).toInt
+    val n = math.max(1L, expectedCount)
+    val needed = (n + perBucket - 1) / perBucket
+    val smallCap = (n + (64L << 10) - 1) / (64L << 10)
+    val minB = math.min(spark.sparkContext.defaultParallelism.toLong, smallCap)
+    math.max(math.max(1L, minB), needed).toInt
   }
 
   def empty(spark: SparkSession, buckets: Int): SeenIndex = {

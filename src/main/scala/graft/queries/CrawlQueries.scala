@@ -34,8 +34,10 @@ object CrawlQueries {
         val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
           hostBudget = Int.MaxValue, web = web, exactSeenIndex = true)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1, 2, 3), cfg)
-        val rows = OracleMat(s, "q30")(
-          fetched.select("order_idx", "url", "depth", "round", "status", "title"))
+        val rows = OracleMat(s, "q30")( // few hundred rows over ~150 cached
+          // partitions: one write task beats a per-partition file fan-out
+          fetched.select("order_idx", "url", "depth", "round", "status", "title")
+            .coalesce(1))
         val perDepth = rows.groupBy(col("depth"))
           .agg(count(lit(1)).as("n"),
             min(col("order_idx")).as("min_idx"),
@@ -66,7 +68,7 @@ object CrawlQueries {
           hostBudget = 5, web = web)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
         val rows = OracleMat(s, "q31")(
-          fetched.select("round", "host", "status", "url"))
+          fetched.select("round", "host", "status", "url").coalesce(1))
         val agg = rows.groupBy(col("round"), col("host"))
           .agg(count(lit(1)).as("fetched"),
             sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"),
@@ -223,7 +225,7 @@ object CrawlQueries {
           hostBudget = 5, web = web, deferSeconds = 3L)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(0, 1), cfg)
         val rows = OracleMat(s, "q94")(
-          fetched.select("round", "host", "depth", "url", "order_idx"))
+          fetched.select("round", "host", "depth", "url", "order_idx").coalesce(1))
         val agg = rows.groupBy(col("round"), col("host"))
           .agg(count(lit(1)).as("fetched"),
             min(col("order_idx")).as("min_idx"),
@@ -249,7 +251,7 @@ object CrawlQueries {
         val cfg = FrontierEngine.Config(maxDepth = 2, maxPages = 300,
           hostBudget = Int.MaxValue, web = web)
         val (fetched, _) = FrontierEngine.crawl(s, seeds(2, 7), cfg)
-        val rows = OracleMat(s, "q34")(fetched.select("status", "host"))
+        val rows = OracleMat(s, "q34")(fetched.select("status", "host").coalesce(1))
         rows.groupBy(col("status")).agg(count(lit(1)).as("n"),
             countDistinct(col("host")).as("n_hosts"))
           .orderBy(col("status"))
