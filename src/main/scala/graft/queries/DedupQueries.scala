@@ -93,9 +93,15 @@ object DedupQueries {
       : DataFrame = {
     val sig = d.withColumn("band_hashes",
       minhashBandsUdf(k, bands)(col("toks"), lit(3)))
+    // materialize the signature pass ONCE before the self-join: the two
+    // join branches are separate plan subtrees and each re-evaluated the
+    // signature UDF over the whole corpus (guide §1.2 step 2 — measured as
+    // two identical ~0.33 s jobs per query at sf0.1; exchange reuse does
+    // not fire across the AQE stage boundary here)
     val banded = sig.select(col("doc_id"), posexplode(col("band_hashes")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+      .localCheckpoint(true)
     val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash"))
@@ -172,6 +178,11 @@ object DedupQueries {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
+    // NOTE: the crawl engine's small-data conf scoping was tried here too
+    // (AQE off + small shuffle fans for the loop) and measured NEUTRAL to
+    // slightly negative — the loop's frames are checkpointed leaves with no
+    // stats, so without AQE the per-round joins lose their runtime
+    // broadcast conversion and fall back to sort-merge. AQE stays on.
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -213,6 +224,9 @@ object DedupQueries {
         val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
           .withColumnRenamed("pos", "band_id")
           .withColumnRenamed("col", "band_hash")
+          // one signature pass: see minhashCandidates — without the cut the
+          // two join branches each re-run the UDF over the whole corpus
+          .localCheckpoint(true)
         val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
         val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
         val cand = OracleMat(s, "q20_cand")(
