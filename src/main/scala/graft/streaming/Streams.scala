@@ -19,6 +19,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Size the stateful-shuffle fan from the INPUT BYTES instead of the
+    * session default: state-store partitions are fixed per streaming query
+    * (AQE never coalesces stateful operators), and every partition pays
+    * per-micro-batch state-store open/commit/delta-file IO. A ~10 MB
+    * staged input does not need a cluster-wide state fan; above ~256 MB
+    * the session default is kept. Scoped to the query build/run (the conf
+    * is captured at query start) and always restored. Results are
+    * partitioning-independent (grouping keys decide state ownership). */
+  private def withScaledStateFan[A](spark: SparkSession, inputDir: String)(f: => A): A = {
+    val bytes =
+      try Option(new java.io.File(inputDir).listFiles())
+        .map(_.map(_.length).sum).getOrElse(-1L)
+      catch { case _: Exception => -1L }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val small = bytes >= 0 && bytes < (256L << 20)
+    if (small)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(8L, bytes / (16L << 20)).toString)
+    try f
+    finally if (small) spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -26,7 +48,8 @@ object Streams {
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
   /** Tumbling-window aggregation with watermark over a parquet stream. */
-  def windowedStats(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+  def windowedStats(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
+      withScaledStateFan(spark, inputDir) {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       // parquet NTZ timestamps -> session-tz instants (watermarks require
@@ -60,7 +83,8 @@ object Streams {
     * Output is the distinct hash set — order-independent, so the batch
     * oracle (SELECT DISTINCT md5(text)) pins it exactly regardless of
     * file-arrival order. */
-  def streamDedup(spark: SparkSession, inputDir: String, queryName: String): DataFrame = {
+  def streamDedup(spark: SparkSession, inputDir: String, queryName: String): DataFrame =
+      withScaledStateFan(spark, inputDir) {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       .select(md5(col("text").cast("binary")).as("content_hash"))
@@ -90,7 +114,8 @@ object Streams {
     * would silently drop hashes as late data if the input ever arrived in
     * more than one micro-batch. */
   def streamDedupBounded(spark: SparkSession, inputDir: String,
-      queryName: String, delay: String = "70 minutes"): DataFrame = {
+      queryName: String, delay: String = "70 minutes"): DataFrame =
+      withScaledStateFan(spark, inputDir) {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
       .select(md5(col("text").cast("binary")).as("content_hash"))
@@ -129,7 +154,8 @@ object Streams {
     * single-user batch with a tiny bound to prove memory stays bounded
     * while event counts are conserved. */
   def sessionize(spark: SparkSession, inputDir: String, queryName: String,
-      gapMs: Long = 30 * 60 * 1000L, maxBuffered: Int = 100000): DataFrame = {
+      gapMs: Long = 30 * 60 * 1000L, maxBuffered: Int = 100000): DataFrame =
+      withScaledStateFan(spark, inputDir) {
     import spark.implicits._
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
