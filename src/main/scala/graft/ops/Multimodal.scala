@@ -307,7 +307,7 @@ object Multimodal {
   /** The media table: (media_id, blob) — real encoded binary column. */
   def mediaTable(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    spark.range(n).repartition(16).as[Long]
+    spark.range(n).repartition(spark.sparkContext.defaultParallelism).as[Long]
       .map(id => (id, synthesizeBlob(id)))
       .toDF("media_id", "blob")
   }

@@ -18,7 +18,7 @@ object ReportQueries {
   private def okPages(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     s.createDataset((0 until web.nHosts).flatMap(h =>
-      (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(16)
+      (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(s.sparkContext.defaultParallelism)
       .flatMap { u =>
         val fr = SyntheticWeb.fetch(web, u)
         if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty)
@@ -269,6 +269,10 @@ object ReportQueries {
         array((0 until 4).map(b =>
           shiftrightunsigned(col("sig"), b * 8).bitwiseAND(0xFFL)): _*)))
         .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket")
+        // one clone+signature pass: the self-join's branches are separate
+        // subtrees and each re-ran both UDFs over the corpus (same fix as
+        // DedupQueries.minhashCandidates)
+        .localCheckpoint(true)
       val a = banded.select(col("band_id"), col("bucket"),
         col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = banded.select(col("band_id"), col("bucket"),
