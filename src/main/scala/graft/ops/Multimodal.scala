@@ -146,7 +146,16 @@ object Multimodal {
     * no longer adds a third ~256 MB transient to the decode's peak. */
   def pixelHash(d: Decoded): Long = {
     val ChunkBytes = 1 << 22
-    val buf = new Array[Byte](ChunkBytes)
+    // buffer sized to min(chunk, payload): a full 4 MB allocation PER ITEM
+    // dominated the decode stage's allocation rate on small-media corpora
+    // (2000 thumbnails ⇒ ~8 GB of dead buffers). Chunk BOUNDARIES are
+    // unchanged — payloads ≤ 4 MB were a single chunk before and still
+    // are; larger payloads still flush at exactly 4 MB — so the chained
+    // hash is bit-identical.
+    val needed =
+      if (d.pixels.nonEmpty) d.pixels.length.toLong * 4
+      else d.samples.length.toLong * 2
+    val buf = new Array[Byte](math.max(1L, math.min(ChunkBytes.toLong, needed)).toInt)
     var h = 63L
     var filled = 0
     def flush(): Unit = if (filled > 0) {
