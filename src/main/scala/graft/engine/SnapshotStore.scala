@@ -67,16 +67,22 @@ final class SnapshotStore(rootDir: String) {
     r.fetched.coalesce(files).write.mode("overwrite")
       .parquet(staging.resolve("fetch_log").toString)
 
-    // per-partition lineage + fetch/dedupe metrics
+    // per-partition lineage + fetch/dedupe metrics: ONE aggregation job
+    // over the cached fetch delta serves both manifest sections (these two
+    // rollups used to be separate Spark jobs per committed round)
     import org.apache.spark.sql.functions._
-    val byPartition = r.fetched.groupBy(col("partition_id"))
-      .agg(count(lit(1)).as("rows"),
-        sum(when(col("status") === "OK", 1).otherwise(0)).as("ok"))
-      .collect()
-      .map(row => s"""{"partition_id":${row.get(0)},"rows":${row.get(1)},"ok":${row.get(2)}}""")
+    val cells = r.fetched.groupBy(col("partition_id"), col("status"))
+      .agg(count(lit(1)).as("rows")).collect()
+      .map(row => (row.getInt(0), row.getString(1), row.getLong(2)))
+    val byPartition = cells.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pid, cs) =>
+        val rows = cs.map(_._3).sum
+        val ok = cs.collect { case (_, "OK", n) => n }.sum
+        s"""{"partition_id":$pid,"rows":$rows,"ok":$ok}"""
+      }
       .mkString("[", ",", "]")
-    val statusCounts = r.fetched.groupBy(col("status")).count().collect()
-      .map(row => s""""${row.getString(0)}":${row.getLong(1)}""")
+    val statusCounts = cells.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (st, cs) => s""""$st":${cs.map(_._3).sum}""" }
       .mkString("{", ",", "}")
     val manifest =
       s"""{"round":${state.round},"fetched_count":${state.fetchedCount},
