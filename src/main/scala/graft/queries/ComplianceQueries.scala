@@ -24,7 +24,7 @@ object ComplianceQueries {
     import s.implicits._
     val urls = (0 until web.nHosts).flatMap(h =>
       (0 until 24).map(p => (SyntheticWeb.pageUrl(h, p), h % 2 == 0)))
-    s.createDataset(urls).repartition(s.sparkContext.defaultParallelism).flatMap { case (u, https) =>
+    s.createDataset(urls).repartition(16).flatMap { case (u, https) =>
       val fr = SyntheticWeb.fetch(web, u)
       if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty)
         Some((if (https) "https://" + u.stripPrefix("http://") else u, fr.html))

@@ -97,7 +97,7 @@ object CrawlQueries {
         val urls = (0 until 8).flatMap(h =>
           (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))
         val pages = s.createDataset(urls).toDF("url")
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(8)
           .withColumn("html", udf((u: String) => SyntheticWeb.fetch(web, u).html).apply(col("url")))
           .filter(length(col("html")) > 0)
         val extractUdf = udf { (html: String, url: String) =>
@@ -124,7 +124,7 @@ object CrawlQueries {
         val urls = (0 until 8).flatMap(h =>
           (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))
         val edges = s.createDataset(urls)
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(8)
           .flatMap { u =>
             val fr = SyntheticWeb.fetch(web, u)
             if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty)
@@ -154,7 +154,7 @@ object CrawlQueries {
         import s.implicits._
         val urls = (0 until 8).flatMap(h =>
           (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))
-        val kernel = s.createDataset(urls).repartition(s.sparkContext.defaultParallelism).flatMap { u =>
+        val kernel = s.createDataset(urls).repartition(8).flatMap { u =>
           val fr = SyntheticWeb.fetch(web, u)
           if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty) {
             val e = graft.core.Extract.extract(fr.html, u, 0L,
@@ -185,7 +185,7 @@ object CrawlQueries {
           h <- 0 until 8; p <- 0 until 16
           ua <- Seq("graft-bot", "other-bot")
         } yield (SyntheticWeb.pageUrl(h, p), ua)
-        val kernel = s.createDataset(inputs).repartition(s.sparkContext.defaultParallelism)
+        val kernel = s.createDataset(inputs).repartition(8)
           .map { case (u, ua) =>
             val host = graft.core.UrlNorm.host(u).getOrElse("")
             val rules = graft.core.Robots.parse(SyntheticWeb.robotsTxt(

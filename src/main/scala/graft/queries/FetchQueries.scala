@@ -21,7 +21,7 @@ object FetchQueries {
   private def urls(s: SparkSession, perHost: Int = 24) = {
     import s.implicits._
     s.createDataset((0 until web.nHosts).flatMap(h =>
-      (0 until perHost).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(s.sparkContext.defaultParallelism)
+      (0 until perHost).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(16)
   }
 
   private def okPages(s: SparkSession) = {

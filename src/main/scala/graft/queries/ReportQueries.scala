@@ -18,7 +18,7 @@ object ReportQueries {
   private def okPages(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     s.createDataset((0 until web.nHosts).flatMap(h =>
-      (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(s.sparkContext.defaultParallelism)
+      (0 until 24).map(p => SyntheticWeb.pageUrl(h, p)))).repartition(16)
       .flatMap { u =>
         val fr = SyntheticWeb.fetch(web, u)
         if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty)

@@ -26,7 +26,7 @@ object ToolQueries {
     import s.implicits._
     val urls = (0 until web.nHosts).flatMap(h =>
       (0 until SyntheticWeb.pageCount(web, h)).map(p => SyntheticWeb.pageUrl(h, p)))
-    s.createDataset(urls).repartition(s.sparkContext.defaultParallelism).flatMap { u =>
+    s.createDataset(urls).repartition(16).flatMap { u =>
       val fr = SyntheticWeb.fetch(web, u)
       if (fr.status == 200 && fr.contentType.contains("text/html") && fr.html.nonEmpty)
         Some((u, fr.html))
