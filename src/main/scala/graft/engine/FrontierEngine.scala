@@ -159,7 +159,19 @@ object FrontierEngine {
           val (definiteFresh, maybeSeen) = SeenFilter.split(spark, deduped, filters, p)
           definiteFresh.union(
             maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
-        } else deduped.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+        } else {
+          // the seen side's row count IS fetchedSoFar (one row per fetched
+          // page). While it fits a broadcast (~16 MB of hashes at 2M), hint
+          // it explicitly: the storeless seen is a checkpointed leaf with
+          // no stats, so the static planner (and the small-round mode with
+          // AQE off) would otherwise pick a sort-merge anti join for a
+          // few-hundred-row table (guide §3.1: pick the strategy
+          // deliberately). Past the threshold the planner decides; the
+          // auto seen-index takes over at 16M anyway.
+          val seenKeys = seen.select("url_hash")
+          val rhs = if (fetchedSoFar <= 2000000L) broadcast(seenKeys) else seenKeys
+          deduped.join(rhs, Seq("url_hash"), "left_anti")
+        }
     }
 
     // 3. per-host politeness budget: rank by (priority, next_fetch_time)

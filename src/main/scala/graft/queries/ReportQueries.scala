@@ -265,14 +265,17 @@ object ReportQueries {
         clone(col("vec_id"), col("embedding")).as("embedding"))
       val corpus = base.unionByName(cloned)
         .withColumn("sig", SimilarityQueries.rhpSignature(col("embedding"), 32))
+        // one clone+signature pass: the self-join's branches are separate
+        // subtrees and each re-ran both UDFs over the corpus (same fix as
+        // DedupQueries.minhashCandidates). The cut sits ABOVE the UDFs but
+        // BELOW the band explode, so the codegen'd 8-bit band arithmetic
+        // stays in the final plan (PlanSpec pins it) while the expensive
+        // pass runs once.
+        .localCheckpoint(true)
       val banded = corpus.select(col("vec_id"), col("embedding"), posexplode(
         array((0 until 4).map(b =>
           shiftrightunsigned(col("sig"), b * 8).bitwiseAND(0xFFL)): _*)))
         .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "bucket")
-        // one clone+signature pass: the self-join's branches are separate
-        // subtrees and each re-ran both UDFs over the corpus (same fix as
-        // DedupQueries.minhashCandidates)
-        .localCheckpoint(true)
       val a = banded.select(col("band_id"), col("bucket"),
         col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = banded.select(col("band_id"), col("bucket"),
