@@ -91,22 +91,32 @@ object DedupQueries {
     * so the bench can count it directly (`dedup_scale` block). */
   def minhashCandidates(d: DataFrame, k: Int = MinhashK, bands: Int = Bands)
       : DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     val sig = d.withColumn("band_hashes",
       minhashBandsUdf(k, bands)(col("toks"), lit(3)))
-    // materialize the signature pass ONCE before the self-join: the two
-    // join branches are separate plan subtrees and each re-evaluated the
+    // Single-pass bucket grouping instead of the banded self-join: the
+    // join's two branches were separate plan subtrees that EACH re-ran the
     // signature UDF over the whole corpus (guide §1.2 step 2 — measured as
-    // two identical ~0.33 s jobs per query at sf0.1; exchange reuse does
-    // not fire across the AQE stage boundary here)
-    val banded = sig.select(col("doc_id"), posexplode(col("band_hashes")))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
-      .localCheckpoint(true)
-    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // two identical signature jobs per invocation; exchange reuse does not
+    // fire across the AQE stage boundary). Checkpointing the explode fixed
+    // the double pass but RETAINED the banded blocks for the session,
+    // which measurably slowed everything downstream at the 4M-doc bench
+    // point (cc_secs 6.4 → 18.6). This form shuffles the light
+    // (band, hash, doc) rows ONCE, buffers one bucket's doc ids per task
+    // (O(bucket) — the bound the join's per-bucket output already had),
+    // and streams the within-bucket pairs lazily — identical output.
+    sig.select(col("doc_id"), posexplode(col("band_hashes")))
+      .select(col("pos").as("band_id"), col("col").as("band_hash"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey { case (b, h, _) => (b, h) }
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._3).toArray
+        java.util.Arrays.sort(ids)
+        ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+      }
+      .toDF("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -217,23 +227,10 @@ object DedupQueries {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val sig = d.withColumn("band_hashes",
-          minhashBandsUdf(MinhashK, Bands)(col("toks"), lit(3)))
-        // explode into light (band_id, band_hash, doc_id) rows — token
-        // arrays must NOT ride through the candidate join's shuffle
-        val bands = sig.select(col("doc_id"), posexplode(col("band_hashes")))
-          .withColumnRenamed("pos", "band_id")
-          .withColumnRenamed("col", "band_hash")
-          // one signature pass: see minhashCandidates — without the cut the
-          // two join branches each re-run the UDF over the whole corpus
-          .localCheckpoint(true)
-        val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-        val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-        val cand = OracleMat(s, "q20_cand")(
-          a.join(b, Seq("band_id", "band_hash"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b"))
-            .dropDuplicates("doc_a", "doc_b"))
+        // candidate build shared with q82/q84/dedup_scale: one signature
+        // pass, one shuffle of light (band, hash, doc) rows — token arrays
+        // never ride the candidate shuffle (see [[minhashCandidates]])
+        val cand = OracleMat(s, "q20_cand")(minhashCandidates(d))
         // exact Jaccard confirmation over word sets (src/server.ts:24-39):
         // rejoin the (deduped) token sets only for surviving candidates
         val sets = OracleMat(s, "q20_sets")(
