@@ -30,6 +30,15 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every created image input/output
+  // stream with a DISK temp file — one create/write/read/delete cycle per
+  // encoded and per decoded item, pure syscall overhead when the blobs are
+  // already in-memory byte arrays. Memory-cached streams carry the exact
+  // same bytes, so every decode/encode result is bit-identical (the pinned
+  // pixel hashes in MultimodalSpec and q63's xor-fold oracle gate this).
+  // Set once per JVM at object load (driver and executors alike).
+  ImageIO.setUseCache(false)
+
   /** Decoded media: still images have nFrames=1, an animated GIF its real
     * frame count (pixels/features stay frame-0); audio reports PCM frame
     * count in nFrames and (0,0) spatial dims. `channels` is the color
