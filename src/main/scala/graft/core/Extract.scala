@@ -119,9 +119,38 @@ object Extract {
   // &nbsp;-separated words must count as the reference counts them
   private val JsWhitespace =
     "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF]+"
+  // precompiled: countWords runs once per page in every extract call (incl.
+  // the extract scaling bench kernel) — String.split compiled this class on
+  // each call
+  private val JsWhitespaceRe = java.util.regex.Pattern.compile(JsWhitespace)
+  private val SentenceRe = java.util.regex.Pattern.compile("[.!?]+")
 
-  def countWords(text: String): Int =
-    text.split(JsWhitespace).count(_.nonEmpty)
+  // Exact member test for the class above (all BMP, no surrogates): Java \s
+  // is space, \t, \n, vertical tab (0x0B), \f, \r; the rest is the listed
+  // JS Unicode space set.
+  private def isJsWs(c: Char): Boolean = {
+    val x = c.toInt
+    x == 0x20 || x == 0x09 || x == 0x0A || x == 0x0B || x == 0x0C ||
+      x == 0x0D || x == 0x00A0 || x == 0x1680 ||
+      (x >= 0x2000 && x <= 0x200A) || x == 0x2028 || x == 0x2029 ||
+      x == 0x202F || x == 0x205F || x == 0x3000 || x == 0xFEFF
+  }
+
+  // split(class+) + count(nonEmpty) ≡ number of maximal non-class runs —
+  // counted with one scan, no token-array allocation (this runs once per
+  // page in every extract call, including the extract scaling bench kernel)
+  def countWords(text: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isJsWs(text.charAt(i))) inWord = false
+      else if (!inWord) { count += 1; inWord = true }
+      i += 1
+    }
+    count
+  }
 
   /** Full pipeline; `clockMs` replaces the reference's `Date.now()` so
     * output is replayable (FIXTURES.md §5). */
@@ -176,7 +205,7 @@ object Extract {
     // JS /\s+/g is the Unicode class (JsWhitespace), not Java's ASCII \s;
     // after the collapse every run is a single ASCII space, so Java trim
     // ≡ JS trim on the result
-    if (collapseWs) t.replaceAll(JsWhitespace, " ").trim else t
+    if (collapseWs) JsWhitespaceRe.matcher(t).replaceAll(" ").trim else t
   }
 
   // minimal JSON rendering (stable field order, matching extract.ts:259-264)
@@ -198,7 +227,7 @@ object Extract {
   /** summarizeContent (/root/reference/src/extract.ts:294-340). */
   def summarize(content: String, maxLength: Int = 500,
       bullets: Boolean = false): String = {
-    val sentences = content.split("[.!?]+").map(_.trim).filter(_.length > 20)
+    val sentences = SentenceRe.split(content).map(_.trim).filter(_.length > 20)
     if (sentences.isEmpty) return "No content to summarize."
     val n = sentences.length
     val scored = sentences.zipWithIndex.map { case (s, i) =>

@@ -26,6 +26,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Html {
 
+  // precompiled: class-attribute splitting runs on every [class] selector
+  // probe; String.split("\\s+") compiled the pattern per call
+  private val WsSplitRe = java.util.regex.Pattern.compile("\\s+")
+
   sealed trait Node { var parent: Element = _ }
   final class Text(var data: String) extends Node
   final class Comment(val data: String) extends Node
@@ -67,7 +71,7 @@ object Html {
       if (classesCache == null) {
         val v = attrRaw("class")
         classesCache = if (v == null) Array.empty
-        else v.split("\\s+").filter(_.nonEmpty)
+        else WsSplitRe.split(v).filter(_.nonEmpty)
       }
       var i = 0
       while (i < classesCache.length) { if (classesCache(i) == c) return true; i += 1 }
@@ -75,7 +79,7 @@ object Html {
     }
     def classes: Set[String] = {
       val v = attrRaw("class")
-      if (v == null) Set.empty else v.split("\\s+").filter(_.nonEmpty).toSet
+      if (v == null) Set.empty else WsSplitRe.split(v).filter(_.nonEmpty).toSet
     }
 
     /** Shallow copy with the same tag and attributes (adoption agency /

@@ -62,6 +62,32 @@ object Markdown {
   /** JS String.prototype.trim (unicode whitespace set). */
   private def jsTrim(s: String): String = TrimRe.matcher(s).replaceAll("")
 
+  // Precompiled per-node patterns (these run once per text node / element
+  // during render; String.replaceAll compiled them on every call). Pattern
+  // and replacement strings are identical to the previous inline literals —
+  // the 385-doc byte-identity goldens pin the output.
+  private val EscDashRe = java.util.regex.Pattern.compile("^-")
+  private val EscPlusRe = java.util.regex.Pattern.compile("^\\+ ")
+  private val EscEqRe = java.util.regex.Pattern.compile("^(=+)")
+  private val EscHeadingRe = java.util.regex.Pattern.compile("^(#{1,6}) ")
+  private val EscFenceRe = java.util.regex.Pattern.compile("^~~~")
+  private val EscGtRe = java.util.regex.Pattern.compile("^>")
+  private val EscOlRe = java.util.regex.Pattern.compile("^(\\d+)\\. ")
+  private val CleanAttrRe = java.util.regex.Pattern.compile("(\\n+\\s*)+")
+  private val TrailSpaceRe = java.util.regex.Pattern.compile(" $")
+  private val CollapseWsRe = java.util.regex.Pattern.compile("[ \\r\\n\\t]+")
+  private val LeadCtlRe = java.util.regex.Pattern.compile("^[\\t\\r\\n]+")
+  private val TrailCtlWsRe = java.util.regex.Pattern.compile("[\\t\\r\\n" + WsClass + "]+$")
+  private val EdgeNlRe = java.util.regex.Pattern.compile("^\\n+|\\n+$")
+  private val LineStartRe = java.util.regex.Pattern.compile("(?m)^")
+  private val LeadNlRe = java.util.regex.Pattern.compile("^\\n+")
+  private val TrailNlRe = java.util.regex.Pattern.compile("\\n+$")
+  private val NlRe = java.util.regex.Pattern.compile("\n")
+  private val ParenRe = java.util.regex.Pattern.compile("([()])")
+  private val CodeNlRe = java.util.regex.Pattern.compile("\\r?\\n|\\r")
+  private val BacktickRunRe = "`+".r
+  private val CodeLangRe = "language-(\\w+)".r
+
   /** Entry point: render the (cleaned) content element to Markdown. */
   def render(content: Element): String = new Renderer(content).run()
 
@@ -72,17 +98,17 @@ object Markdown {
     var r = s
     r = r.replace("\\", "\\\\")
     r = r.replace("*", "\\*")
-    r = r.replaceAll("^-", "\\\\-")
-    r = r.replaceAll("^\\+ ", "\\\\+ ")
-    r = r.replaceAll("^(=+)", "\\\\$1")
-    r = r.replaceAll("^(#{1,6}) ", "\\\\$1 ")
+    r = EscDashRe.matcher(r).replaceAll("\\\\-")
+    r = EscPlusRe.matcher(r).replaceAll("\\\\+ ")
+    r = EscEqRe.matcher(r).replaceAll("\\\\$1")
+    r = EscHeadingRe.matcher(r).replaceAll("\\\\$1 ")
     r = r.replace("`", "\\`")
-    r = r.replaceAll("^~~~", "\\\\~~~")
+    r = EscFenceRe.matcher(r).replaceAll("\\\\~~~")
     r = r.replace("[", "\\[")
     r = r.replace("]", "\\]")
-    r = r.replaceAll("^>", "\\\\>")
+    r = EscGtRe.matcher(r).replaceAll("\\\\>")
     r = r.replace("_", "\\_")
-    r = r.replaceAll("^(\\d+)\\. ", "$1\\\\. ")
+    r = EscOlRe.matcher(r).replaceAll("$1\\\\. ")
     r
   }
 
@@ -98,7 +124,7 @@ object Markdown {
 
   // cleanAttribute (:337-339)
   private def cleanAttribute(a: String): String =
-    if (a == null || a.isEmpty) "" else a.replaceAll("(\\n+\\s*)+", "\n")
+    if (a == null || a.isEmpty) "" else CleanAttrRe.matcher(a).replaceAll("\n")
 
   private final class Renderer(root0: Element) {
 
@@ -141,7 +167,7 @@ object Markdown {
       def elementEvent(e: Element): Unit = {
         if (BlockTags.contains(e.tag) || e.tag == "br") {
           if (prevText != null)
-            textData.put(prevText, textData.get(prevText).replaceAll(" $", ""))
+            textData.put(prevText, TrailSpaceRe.matcher(textData.get(prevText)).replaceAll(""))
           prevText = null
           keepLeadingWs = false
         } else if (VoidTags.contains(e.tag) || isPreEl(e)) {
@@ -154,7 +180,7 @@ object Markdown {
       }
       def visit(n: Node): Unit = n match {
         case t: Text =>
-          var text = t.data.replaceAll("[ \\r\\n\\t]+", " ")
+          var text = CollapseWsRe.matcher(t.data).replaceAll(" ")
           if ((prevText == null || textData.get(prevText).endsWith(" ")) &&
             !keepLeadingWs && text.startsWith(" "))
             text = text.substring(1)
@@ -179,7 +205,7 @@ object Markdown {
       }
       root.children.foreach(visit)
       if (prevText != null) {
-        val d = textData.get(prevText).replaceAll(" $", "")
+        val d = TrailSpaceRe.matcher(textData.get(prevText)).replaceAll("")
         if (d.isEmpty) { removedTexts.add(prevText); textData.remove(prevText) }
         else textData.put(prevText, d)
       }
@@ -263,8 +289,7 @@ object Markdown {
     def run(): String = {
       val out = process(root, insideCode = false)
       // postProcess (:887): trim leading [\t\r\n]+ and trailing [\t\r\n\s]+
-      out.replaceAll("^[\\t\\r\\n]+", "")
-        .replaceAll("[\\t\\r\\n" + WsClass + "]+$", "")
+      TrailCtlWsRe.matcher(LeadCtlRe.matcher(out).replaceAll("")).replaceAll("")
     }
 
     private def process(parent: Element, insideCode: Boolean): String = {
@@ -302,7 +327,7 @@ object Markdown {
           e.descendants.find(_.tag == "code") match {
             case Some(code) =>
               val lang = code.attr("class")
-                .flatMap(c => "language-(\\w+)".r.findFirstMatchIn(c).map(_.group(1)))
+                .flatMap(c => CodeLangRe.findFirstMatchIn(c).map(_.group(1)))
                 .getOrElse("")
               "\n```" + lang + "\n" + tc(code) + "\n```\n"
             case None =>
@@ -317,8 +342,8 @@ object Markdown {
           val level = t.charAt(1) - '0'
           "\n\n" + ("#" * level) + " " + content + "\n\n"
         case "blockquote" =>
-          val inner = content.replaceAll("^\\n+|\\n+$", "")
-            .replaceAll("(?m)^", "> ")
+          val inner = LineStartRe.matcher(
+            EdgeNlRe.matcher(content).replaceAll("")).replaceAll("> ")
           "\n\n" + inner + "\n\n"
         case "ul" | "ol" =>
           val p = e.parent
@@ -333,15 +358,15 @@ object Markdown {
               val index = p.childElements.indexWhere(_ eq e)
               (start.map(_ + index).getOrElse(index + 1)).toString + ".  "
             } else "-   "
-          val c = content
-            .replaceAll("^\\n+", "")
-            .replaceAll("\\n+$", "\n")
-            .replaceAll("\n", "\n" + (" " * prefix.length))
+          val c = NlRe.matcher(
+            TrailNlRe.matcher(
+              LeadNlRe.matcher(content).replaceAll("")).replaceAll("\n"))
+            .replaceAll("\n" + (" " * prefix.length))
           val hasNextSibling = siblings(e)._2.isDefined
           prefix + c + (if (hasNextSibling && !c.endsWith("\n")) "\n" else "")
         case "hr" => "\n\n* * *\n\n"
         case "a" if Option(e.attrRaw("href")).exists(_.nonEmpty) =>
-          val href = e.attrRaw("href").replaceAll("([()])", "\\\\$1")
+          val href = ParenRe.matcher(e.attrRaw("href")).replaceAll("\\\\$1")
           val title = {
             val t = cleanAttribute(e.attrRaw("title"))
             if (t.nonEmpty) " \"" + t.replace("\"", "\\\"") + "\"" else ""
@@ -354,13 +379,13 @@ object Markdown {
         case "code" => // inline code (pre>code-only is shadowed by pre rule)
           if (content.isEmpty) ""
           else {
-            val c = content.replaceAll("\\r?\\n|\\r", " ")
+            val c = CodeNlRe.matcher(content).replaceAll(" ")
             val extraSpace =
               if (c.startsWith("`") || c.endsWith("`") ||
                 (c.length > 1 && c.startsWith(" ") && c.endsWith(" ") && jsTrim(c).nonEmpty)) " "
               else ""
             var delim = "`"
-            val runs = "`+".r.findAllIn(c).toSet
+            val runs = BacktickRunRe.findAllIn(c).toSet
             while (runs.contains(delim)) delim += "`"
             delim + extraSpace + c + extraSpace + delim
           }

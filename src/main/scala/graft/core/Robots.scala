@@ -84,8 +84,9 @@ object Robots {
   // existing %XX intact, uppercase hex. match paths: the WHATWG URL
   // serializer has already percent-encoded specials (new URL(...).pathname)
   // before urlEncodeToUpper.
+  private val PctRe = "%[0-9a-fA-F]{2}".r
   private def pctUpper(s: String): String =
-    "%[0-9a-fA-F]{2}".r.replaceAllIn(s, m => m.matched.toUpperCase)
+    PctRe.replaceAllIn(s, m => m.matched.toUpperCase)
 
   private def utf8Pct(cp: Int): String =
     new String(Character.toChars(cp)).getBytes("UTF-8")

@@ -10,6 +10,29 @@ import graft.core.Html.{Doc, Element}
   */
 object PageTools {
 
+  // Precompiled hot-path patterns (guide §4: these kernels run once per row
+  // inside Dataset closures; String.replaceAll/split/matches compile their
+  // regex on every call — per token for the keyword alpha filter). Pattern
+  // strings and replacement strings are byte-identical to the previous
+  // inline literals, so output is unchanged (golden suites pin this).
+  private val SentenceSplitRe = java.util.regex.Pattern.compile("[.!?]+")
+  private val PhoneNonDigitPlusRe = java.util.regex.Pattern.compile("[^\\d+]")
+  private val PhonePlusRe = java.util.regex.Pattern.compile("\\+")
+  private val PhoneYearRe = java.util.regex.Pattern.compile("(19|20)\\d{2}")
+  private val PhoneRepeatRe = java.util.regex.Pattern.compile("(\\d)\\1{6,}")
+  private val TelStripRe = java.util.regex.Pattern.compile("[^\\d+\\-\\s()]")
+  private val NonDigitRe = java.util.regex.Pattern.compile("[^\\d]")
+  private val MdImgRe = java.util.regex.Pattern.compile("!\\[.*?\\]\\(.*?\\)")
+  private val MdLinkRe = java.util.regex.Pattern.compile("\\[.*?\\]\\(.*?\\)")
+  private val MdFenceRe = java.util.regex.Pattern.compile("(?s)```.*?```")
+  private val MdCodeRe = java.util.regex.Pattern.compile("`.*?`")
+  private val MdHeadingRe = java.util.regex.Pattern.compile("#{1,6}\\s")
+  private val MdBoldRe = java.util.regex.Pattern.compile("\\*\\*.*?\\*\\*")
+  private val MdItalicRe = java.util.regex.Pattern.compile("\\*.*?\\*")
+  private val MdBulletRe = java.util.regex.Pattern.compile("[-*+]\\s")
+  private val MdNumListRe = java.util.regex.Pattern.compile("\\d+\\.\\s")
+  private val MdNewlinesRe = java.util.regex.Pattern.compile("\\n+")
+
   // ---------------- get_page_metadata (:1590-1636) ----------------
   final case class PageMeta(
       title: String, description: String, keywords: String, author: String,
@@ -189,11 +212,11 @@ object PageTools {
 
   /** Phone false-positive filter (:3017-3043). */
   private[tools] def validPhone(phone: String): Boolean = {
-    val clean = phone.replaceAll("[^\\d+]", "")
-    val numeric = clean.replaceFirst("\\+", "")
+    val clean = PhoneNonDigitPlusRe.matcher(phone).replaceAll("")
+    val numeric = PhonePlusRe.matcher(clean).replaceFirst("")
     if (numeric.length < 7 || numeric.length > 15) return false
-    if (numeric.matches("(19|20)\\d{2}")) return false // years
-    if (numeric.matches("(\\d)\\1{6,}")) return false // repeats
+    if (PhoneYearRe.matcher(numeric).matches()) return false // years
+    if (PhoneRepeatRe.matcher(numeric).matches()) return false // repeats
     if (clean.startsWith("+") && numeric.length < 8) return false
     if (!phone.exists(c => c == ' ' || c == '-' || c == '(' || c == ')') && numeric.length < 10) return false
     true
@@ -207,8 +230,8 @@ object PageTools {
     val phones = (IntlPhoneRe.findAllIn(pageText).toSeq ++
       UsPhoneRe.findAllIn(pageText).toSeq).filter(validPhone)
     val tel = doc.select("a[href^=\"tel:\"]").flatMap(_.attr("href"))
-      .map(_.stripPrefix("tel:").replaceAll("[^\\d+\\-\\s()]", ""))
-      .filter(p => p.replaceAll("[^\\d]", "").length >= 7)
+      .map(p => TelStripRe.matcher(p.stripPrefix("tel:")).replaceAll(""))
+      .filter(p => NonDigitRe.matcher(p).replaceAll("").length >= 7)
     val addresses = (doc.select("[class*=\"address\"], [id*=\"address\"], address") ++
       doc.select("[itemtype*=\"PostalAddress\"], [typeof*=\"PostalAddress\"]"))
       .map(_.text().trim).filter(_.length > 10)
@@ -221,21 +244,34 @@ object PageTools {
       currencies: Seq[String], percentages: Seq[String],
       hashtags: Seq[String], mentions: Seq[String], coordinates: Seq[String])
 
+  // Family patterns precompiled once (was ten Pattern.compile per document);
+  // strings identical to the previous inline literals, incl. the "(?i)"
+  // prefix the `flags = "i"` argument used to add to the dates pattern.
+  private val EntEmailRe = "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b".r
+  private val EntUrlRe = "https?://[^\\s]+".r
+  private val EntPhoneRe = "\\b(?:\\+?1[-.]?)?\\(?([0-9]{3})\\)?[-.]?([0-9]{3})[-.]?([0-9]{4})\\b".r
+  private val EntDateRe = "(?i)\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\\s+\\d{1,2},?\\s+\\d{4}\\b".r
+  private val EntTimeRe = "\\b\\d{1,2}:\\d{2}(?::\\d{2})?\\s*(?:AM|PM|am|pm)?\\b".r
+  private val EntCurrencyRe = "\\$\\d+(?:,\\d{3})*(?:\\.\\d{2})?|\\d+(?:,\\d{3})*(?:\\.\\d{2})?\\s*(?:USD|EUR|GBP|JPY)".r
+  private val EntPercentRe = "\\d+(?:\\.\\d+)?%".r
+  private val EntHashtagRe = "#\\w+".r
+  private val EntMentionRe = "@\\w+".r
+  private val EntCoordRe = "\\b-?\\d{1,3}\\.\\d+,\\s*-?\\d{1,3}\\.\\d+\\b".r
+
   def extractEntities(content: String): Entities = {
-    def all(p: String, flags: String = ""): Seq[String] =
-      ((if (flags.contains("i")) s"(?i)$p" else p).r
-        .findAllIn(content).toSeq).distinct
+    def all(re: scala.util.matching.Regex): Seq[String] =
+      re.findAllIn(content).toSeq.distinct
     Entities(
-      emails = all("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b"),
-      urls = all("https?://[^\\s]+"),
-      phones = all("\\b(?:\\+?1[-.]?)?\\(?([0-9]{3})\\)?[-.]?([0-9]{3})[-.]?([0-9]{4})\\b"),
-      dates = all("\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\\s+\\d{1,2},?\\s+\\d{4}\\b", "i"),
-      times = all("\\b\\d{1,2}:\\d{2}(?::\\d{2})?\\s*(?:AM|PM|am|pm)?\\b"),
-      currencies = all("\\$\\d+(?:,\\d{3})*(?:\\.\\d{2})?|\\d+(?:,\\d{3})*(?:\\.\\d{2})?\\s*(?:USD|EUR|GBP|JPY)"),
-      percentages = all("\\d+(?:\\.\\d+)?%"),
-      hashtags = all("#\\w+"),
-      mentions = all("@\\w+"),
-      coordinates = all("\\b-?\\d{1,3}\\.\\d+,\\s*-?\\d{1,3}\\.\\d+\\b"))
+      emails = all(EntEmailRe),
+      urls = all(EntUrlRe),
+      phones = all(EntPhoneRe),
+      dates = all(EntDateRe),
+      times = all(EntTimeRe),
+      currencies = all(EntCurrencyRe),
+      percentages = all(EntPercentRe),
+      hashtags = all(EntHashtagRe),
+      mentions = all(EntMentionRe),
+      coordinates = all(EntCoordRe))
   }
 
   // ---------------- extract_keywords (:3949-4077) ----------------
@@ -258,30 +294,53 @@ object PageTools {
   /** Markdown stripping pre-pass — including the reference's quirk that
     * `'$1'` replacements reference a nonexistent capture group, inserting a
     * literal `$1` (:3981, 3985-3986). Replicated faithfully. */
-  def stripMarkdown(content: String): String = content
-    .replaceAll("!\\[.*?\\]\\(.*?\\)", "")
-    .replaceAll("\\[.*?\\]\\(.*?\\)", "\\$1") // reference quirk: literal $1
-    .replaceAll("(?s)```.*?```", "")
-    .replaceAll("`.*?`", "")
-    .replaceAll("#{1,6}\\s", "")
-    .replaceAll("\\*\\*.*?\\*\\*", "\\$1") // reference quirk: literal $1
-    .replaceAll("\\*.*?\\*", "\\$1") // reference quirk: literal $1
-    .replaceAll("[-*+]\\s", "")
-    .replaceAll("\\d+\\.\\s", "")
-    .replaceAll("\\n+", " ")
-    .trim
+  def stripMarkdown(content: String): String = {
+    var r = content
+    r = MdImgRe.matcher(r).replaceAll("")
+    r = MdLinkRe.matcher(r).replaceAll("\\$1") // reference quirk: literal $1
+    r = MdFenceRe.matcher(r).replaceAll("")
+    r = MdCodeRe.matcher(r).replaceAll("")
+    r = MdHeadingRe.matcher(r).replaceAll("")
+    r = MdBoldRe.matcher(r).replaceAll("\\$1") // reference quirk: literal $1
+    r = MdItalicRe.matcher(r).replaceAll("\\$1") // reference quirk: literal $1
+    r = MdBulletRe.matcher(r).replaceAll("")
+    r = MdNumListRe.matcher(r).replaceAll("")
+    r = MdNewlinesRe.matcher(r).replaceAll(" ")
+    r.trim
+  }
 
   final case class Keyword(keyword: String, frequency: Int, isPhrase: Boolean)
 
   def extractKeywords(content: String, maxKeywords: Int = 10,
       includePhrases: Boolean = true): Seq[Keyword] = {
     val plain = stripMarkdown(content)
-    def tokensOf(s: String): Seq[String] = s.toLowerCase
-      .replaceAll("[^a-z\\s]", " ")
-      .split("\\s+").toSeq
-      .filter(w => w.length >= 3 && w.length <= 20)
-      .filter(w => !KeywordStopWords.contains(w))
-      .filter(_.matches("[a-z]+"))
+    // Single-scan tokenizer, provably ≡ the reference formula
+    // lowercase → replaceAll("[^a-z\\s]"," ") → split("\\s+") → filters:
+    // after the replace, every char outside [a-z] is a separator (original
+    // \s chars become split separators, every other non-[a-z] char becomes
+    // a space), so tokens are exactly the maximal [a-z] runs of the
+    // lowercased string, in order; the post-split [a-z]+ filter is then
+    // always true, and the length/stopword filters commute per token.
+    def tokensOf(s: String): Seq[String] = {
+      val lower = s.toLowerCase
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      val n = lower.length
+      while (i < n) {
+        val c = lower.charAt(i)
+        if (c >= 'a' && c <= 'z') {
+          var j = i + 1
+          while (j < n && { val d = lower.charAt(j); d >= 'a' && d <= 'z' }) j += 1
+          val len = j - i
+          if (len >= 3 && len <= 20) {
+            val w = lower.substring(i, j)
+            if (!KeywordStopWords.contains(w)) out += w
+          }
+          i = j
+        } else i += 1
+      }
+      out.toSeq
+    }
     val words = tokensOf(plain)
     val singles = words.groupBy(identity).view.mapValues(_.size).toSeq
       .sortBy { case (w, c) => (-c, w) }
@@ -289,7 +348,7 @@ object PageTools {
       .map { case (w, c) => Keyword(w, c, isPhrase = false) }
     val phrases = if (!includePhrases) Seq.empty else {
       val counts = scala.collection.mutable.Map[String, Int]()
-      plain.split("[.!?]+").foreach { sentence =>
+      SentenceSplitRe.split(plain).foreach { sentence =>
         val sw = tokensOf(sentence)
         sw.sliding(2).filter(_.size == 2).foreach { pair =>
           val p = pair.mkString(" ")
@@ -360,10 +419,35 @@ object PageTools {
   }
 
   // ---------------- calculateTextSimilarity (:24-39) ----------------
-  /** Jaccard over lowercase word sets. */
+  /** Jaccard over lowercase word sets.
+    *
+    * Word sets are built with a single scan: split("\\s+") + nonEmpty ≡
+    * the maximal runs of non-\s chars (Java \s is exactly
+    * [ \t\n \x0B \f\r]), so membership and set contents are identical to
+    * the previous regex-split form without allocating every token array.
+    */
+  private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
+  private def wordSet(s: String): Set[String] = {
+    val lower = s.toLowerCase
+    val out = Set.newBuilder[String]
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      if (!isJavaWs(lower.charAt(i))) {
+        var j = i + 1
+        while (j < n && !isJavaWs(lower.charAt(j))) j += 1
+        out += lower.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
   def textSimilarity(a: String, b: String): Double = {
-    val wa = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    val wb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val wa = wordSet(a)
+    val wb = wordSet(b)
     if (wa.isEmpty && wb.isEmpty) 1.0
     else {
       val inter = wa.intersect(wb).size
@@ -428,6 +512,8 @@ object PageTools {
   final case class VulnScan(mixedContent: Int, inlineScripts: Int,
       passwordFormOverGet: Boolean, jquery1x: Boolean, score: Int)
 
+  private val Jq1Re = "jquery[/-]1\\.\\d".r
+
   def scanVulnerabilities(html: String, doc: Doc, pageUrl: String): VulnScan = {
     val isHttps = pageUrl.startsWith("https://")
     val mixed = if (isHttps)
@@ -439,7 +525,7 @@ object PageTools {
       f.attr("method").forall(_.equalsIgnoreCase("get")) &&
         Selector.select(f, "input[type=\"password\"]").nonEmpty
     }
-    val jq1 = "jquery[/-]1\\.\\d".r.findFirstIn(html.toLowerCase).isDefined
+    val jq1 = Jq1Re.findFirstIn(html.toLowerCase).isDefined
     var critical = 0; var highC = 0; var medium = 0; var lowC = 0
     if (pwGet) critical += 1
     if (mixed > 0) highC += 1
